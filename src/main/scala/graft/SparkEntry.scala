@@ -1,13 +1,76 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.Pipeline
+import graft.canon.Canon
+import graft.relations.Relations
+import graft.verify.Oracle
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry is a deterministic DataFrame over the sfDir parquet
+  * tables; the paired `oracleSql` is DuckDB SQL over the same tables
+  * (generated from shared constants in [[graft.verify.Oracle]]). Aggregate /
+  * computed columns are aliased identically on both sides (driver compare
+  * sorts columns by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full pages→triples pipeline on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipeline.triples(spark, "/root/testdata/sf0.001").toDF()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- baseline relational ops over driver tables ---------------------
+    "q1_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // --- KG pipeline stages (pages synthesized from documents) ----------
+    "q_pages" -> ((s, dir) => {
+      Pipeline.pages(s, dir).toDF()
+        .select(col("url"), col("lang"), length(col("text")).cast("long").as("text_len"))
+    }),
+    "q_mentions" -> ((s, dir) => {
+      Pipeline.mentions(s, dir).toDF()
+        .groupBy(col("url"), col("surface"), col("label"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q_entity_rollup" -> ((s, dir) => {
+      Pipeline.mentions(s, dir).toDF()
+        .groupBy(col("surface"), col("label"))
+        .agg(count(lit(1)).as("n_mentions"),
+          countDistinct(col("url")).as("n_urls"))
+    }),
+    "q_canon" -> ((s, dir) => {
+      Canon.canonicalMap(Pipeline.mentions(s, dir))
+    }),
+    "q_triples" -> ((s, dir) => {
+      Relations.cooccurrence(Pipeline.mentions(s, dir)).toDF()
+        .groupBy(col("subj"), col("pred"), col("obj"), col("url"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q_entity_prov" -> ((s, dir) => {
+      val ms = Pipeline.mentions(s, dir)
+      Relations.mentionedIn(ms, Canon.canonicalMap(ms)).toDF()
+        .select(col("subj"), col("pred"), col("obj"), col("url"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+        "count(*) AS n_rows FROM lineitem GROUP BY 1, 2"),
+    "q_pages" -> Oracle.qPages,
+    "q_mentions" -> Oracle.qMentions,
+    "q_entity_rollup" -> Oracle.qEntityRollup,
+    "q_canon" -> Oracle.qCanon,
+    "q_triples" -> Oracle.qTriples,
+    "q_entity_prov" -> Oracle.qEntityProv
+  )
 }

@@ -1,0 +1,114 @@
+package graft.functions
+
+import java.text.Normalizer
+
+/** Pure text primitives shared by the extractor, mention scan, and
+  * canonicalization. Each mirrors a reference behavior (file:line cited)
+  * and is kept engine-side deterministic so the DuckDB oracle can reproduce
+  * it with builtin SQL functions.
+  */
+object Text {
+
+  /** Whitespace-collapse normalization — THE canonical text normalization of
+    * the reference, `" ".join(text.split())`
+    * (src/ollama_entity_extraction/OllamaNERExtractor.py:199 and 4 dupes).
+    * Python str.split() splits on Unicode whitespace, so we match with
+    * Character.isWhitespace + NBSP rather than Java's ASCII-only \s.
+    */
+  def normWs(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingSpace = false
+    var started = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      // isSpaceChar covers NBSP/narrow-NBSP, which Python str.split treats
+      // as whitespace but Java isWhitespace does not.
+      if (Character.isWhitespace(c) || Character.isSpaceChar(c)) {
+        if (started) pendingSpace = true
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+        started = true
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Accent folding — reference `unidecode(name)` used as a grouping key
+    * (src/check_heuristics.py:23-42). NFD + combining-mark strip matches
+    * DuckDB's strip_accents on the Latin alphabet this corpus uses.
+    */
+  def unaccent(s: String): String = {
+    if (s == null) return null
+    var needs = false
+    var i = 0
+    while (i < s.length && !needs) { if (s.charAt(i) >= 0x80) needs = true; i += 1 }
+    if (!needs) return s // fast path: pure-ASCII strings dominate at scale
+    val d = Normalizer.normalize(s, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var j = 0
+    while (j < d.length) {
+      val c = d.charAt(j)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** Canonical comparison key for entity similarity: unaccent + lowercase
+    * (reference compares via unidecode at check_heuristics.py:50).
+    */
+  def simKey(s: String): String = unaccent(s).toLowerCase(java.util.Locale.ROOT)
+
+  /** Tokenizer with character positions — reference `\b\w+\b` finditer
+    * (check_token_based_match.py:9-19). Emits (token, start, end-exclusive),
+    * token lowercased like the reference.
+    */
+  def tokensWithPos(s: String): Vector[(String, Int, Int)] = {
+    val out = Vector.newBuilder[(String, Int, Int)]
+    var i = 0
+    while (i < s.length) {
+      if (isWordChar(s.charAt(i))) {
+        val start = i
+        while (i < s.length && isWordChar(s.charAt(i))) i += 1
+        out += ((s.substring(start, i).toLowerCase(java.util.Locale.ROOT), start, i))
+      } else i += 1
+    }
+    out.result()
+  }
+
+  @inline private def isWordChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  /** Levenshtein ratio as used by the similarity predicate
+    * (OllamaNERExtractor.py:122-126): 1 - lev / max(len). The lev itself is
+    * Spark's builtin `levenshtein` in plan-land; this JVM twin exists for
+    * tests and driver-side goldens.
+    */
+  def levRatio(a: String, b: String): Double = {
+    val m = math.max(a.length, b.length)
+    if (m == 0) 1.0 else 1.0 - levenshtein(a, b).toDouble / m
+  }
+
+  def levenshtein(a: String, b: String): Int = {
+    if (a.isEmpty) return b.length
+    if (b.isEmpty) return a.length
+    var prev = Array.tabulate(b.length + 1)(identity)
+    val cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      var j = 1
+      while (j <= b.length) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, cur.length)
+      i += 1
+    }
+    prev(b.length)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.model
+
+/** Core row types of the KG-construction engine.
+  *
+  * Modeled on the reference's data shapes (see /root/reference):
+  *  - Page    ← BASELINE.json input_hint table (url, warc_ts, html, text, lang)
+  *  - Segment ← cached layout-segment dicts consumed at
+  *              src/methods/NERTransformerModel.py:93-100
+  *  - Mention ← ExtractedEntity, src/data_model/ExtractedEntity.py:4-11
+  *  - Entity  ← EntitiesDict/EntityInfo rollup,
+  *              src/ollama_entity_extraction/data_model/EntityInfo.py:4-10
+  *              (parallel arrays re-modeled as array<struct> — SURVEY.md §1.4)
+  *  - Triple  ← proto-triple {cardinals, laws, context},
+  *              src/create_reference_data.py:31
+  */
+final case class Page(
+    url: String,
+    warc_ts: java.sql.Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String
+)
+
+final case class Segment(
+    url: String,
+    page: Int,
+    seg_no: Int,
+    seg_type: String,
+    text: String
+)
+
+final case class Token(token: String, start: Int, end: Int)
+
+final case class Mention(
+    url: String,
+    page: Int,
+    seg_no: Int,
+    surface: String,
+    label: String,
+    start: Int,
+    end: Int,
+    score: Double
+)
+
+final case class Occurrence(
+    url: String,
+    page: Int,
+    seg_no: Int,
+    mention: String,
+    start: Int,
+    end: Int
+)
+
+final case class Entity(
+    canonical: String,
+    label: String,
+    n_mentions: Long,
+    n_urls: Long,
+    occurrences: Seq[Occurrence]
+)
+
+final case class Triple(
+    subj: String,
+    pred: String,
+    obj: String,
+    url: String,
+    score: Double
+)
+
+final case class MetricRow(
+    stage: String,
+    partition_id: Int,
+    rows_in: Long,
+    rows_out: Long,
+    nanos: Long
+)
+
+/** Tuning constants preserved from the reference for P/R parity
+  * (SURVEY.md §4.1 "duplicate-code constant tuning").
+  */
+object Config {
+  /** Levenshtein-ratio similarity threshold — OllamaNERExtractor.py:124. */
+  val LevRatioThreshold = 0.79
+  /** Word-intersection ratio threshold — OllamaNERExtractor.py:124. */
+  val WordOverlapThreshold = 0.65
+  /** Fuzzy window similarity — check_fuzzy_windows_match.py:32. */
+  val FuzzyWindowThreshold = 0.85
+  /** Token-sequence similarity — check_token_based_match.py:22. */
+  val TokenFuzzyThreshold = 0.8
+  /** Embedding cosine match threshold — TransformerReferenceExtractor.py:8. */
+  val CosineThreshold = 0.5
+  /** GLiNER sliding window: 20 words, slide 10 — GLiNERModel.py:56-57. */
+  val SlideWindow = 20
+  val SlideStep = 10
+  /** Similarity group cap — ollama_ner_extract_names.py:294-326. */
+  val GroupCap = 15
+  /** Mention context chars — OllamaNERExtractor.py:53-87 (±50). */
+  val ContextChars = 50
+
+  /** MinHash configuration for banded similarity self-joins (SURVEY §2.4 J7). */
+  val MinHashK = 12
+  val MinHashBands = 4
+  val MinHashRows: Int = MinHashK / MinHashBands
+
+  /** Near-dup n-gram Jaccard threshold. */
+  val JaccardThreshold = 0.8
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.mentions.{AhoCorasick, Mentions}
+import graft.model.{Gazetteer, Mention, Segment}
+import graft.pipeline.Pipeline
+import graft.sources.Pages
+
+class MentionsSpec extends SparkSpec {
+
+  test("AhoCorasick finds all occurrences with word bounds") {
+    val ac = AhoCorasick(Array("Article 12", "Article 128", "Carlos Mendez", "Carlos Mendez Rivera"))
+    // inside "Article 128", "Article 12" fails the word-boundary check
+    assert(ac.scan("see Article 128 here") == List((1, 4, 15)))
+    assert(ac.scan("see Article 12 here") == List((0, 4, 14)))
+    // contiguous prefix surface: both match (resolution picks the longer)
+    assert(ac.scan("by Carlos Mendez Rivera.").map(_._1).toSet == Set(2, 3))
+    assert(ac.scan("") == Nil)
+    assert(ac.scan("nothing to see") == Nil)
+  }
+
+  test("resolveOverlaps keeps leftmost-longest (reference O2+O3 semantics)") {
+    def m(s: Int, e: Int, surf: String) = Mention("u", 1, 1, surf, "X", s, e, 1.0)
+    val resolved = Mentions.resolveOverlaps(List(m(0, 13, "Carlos Mendez"), m(0, 20, "Carlos Mendez Rivera"), m(15, 21, "x"), m(21, 25, "y")))
+    assert(resolved.map(_.surface) == List("Carlos Mendez Rivera", "y"))
+  }
+
+  test("scan over planted corpus finds exactly the planted mentions") {
+    val ms = Pipeline.mentions(spark, sfTiny).collect()
+    // expected from the same plant arithmetic (independent of the scan path)
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = docs.flatMap { id =>
+      (0 until Pages.nPlanted(id)).flatMap { j =>
+        Seq(
+          (Pages.urlOf(id), Gazetteer.persons(Pages.personIdx(id, j)), "PERSON"),
+          (Pages.urlOf(id), Gazetteer.orgs(Pages.orgIdx(id, j)), "ORG"),
+          (Pages.urlOf(id), Gazetteer.gpes(Pages.gpeIdx(id, j)), "GPE"),
+          (Pages.urlOf(id), Gazetteer.provisions(Pages.provIdx(id, j)), "PROVISION"),
+          (Pages.urlOf(id), Gazetteer.laws(Pages.lawIdx(id, j)), "LAW"))
+      }
+    }
+    val got = ms.map(m => (m.url, m.surface, m.label))
+    assert(got.sorted.toSeq == expected.sorted.toSeq)
+  }
+
+  test("mention offsets slice the segment text to the surface") {
+    val segs = Pipeline.segments(spark, sfTiny).collect().map(s => (s.url, s.seg_no) -> s.text).toMap
+    val ms = Pipeline.mentions(spark, sfTiny).collect()
+    assert(ms.nonEmpty)
+    ms.foreach { m =>
+      val text = segs((m.url, m.seg_no))
+      assert(text.substring(m.start, m.end) == m.surface)
+    }
+  }
+
+  test("resolveAcrossExtractors matches local resolution on a union of sets") {
+    import spark.implicits._
+    def m(seg: Int, s: Int, e: Int, surf: String) = Mention("u", 1, seg, surf, "X", s, e, 1.0)
+    val ds = Seq(m(1, 0, 5, "aaaaa"), m(1, 3, 10, "bbbbbbb"), m(1, 5, 9, "cccc"), m(2, 0, 2, "dd")).toDS()
+    val got = Mentions.resolveAcrossExtractors(ds).collect().map(x => (x.seg_no, x.surface)).sorted
+    assert(got.toSeq == Seq((1, "aaaaa"), (1, "cccc"), (2, "dd")))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.functions.Text
+
+class TextSpec extends AnyFunSuite {
+
+  private def check(p: Prop, name: String): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("normWs collapses runs of unicode whitespace like python str.split") {
+    assert(Text.normWs("  a\t b\n\nc   d  ") == "a b c d")
+    assert(Text.normWs("") == "")
+    assert(Text.normWs("   ") == "")
+    assert(Text.normWs("one") == "one")
+    assert(Text.normWs("a b") == "a b") // NBSP is whitespace to Python str.split
+  }
+
+  test("normWs is idempotent (property)") {
+    check(Prop.forAll(Gen.asciiStr) { s =>
+      val once = Text.normWs(s); Text.normWs(once) == once
+    }, "normWs idempotent")
+  }
+
+  test("unaccent folds the corpus alphabet like DuckDB strip_accents") {
+    assert(Text.unaccent("María Elena Vásquez") == "Maria Elena Vasquez")
+    assert(Text.unaccent("Ana Lucía Montaño") == "Ana Lucia Montano")
+    assert(Text.unaccent("ASCII stays") == "ASCII stays")
+    assert(Text.unaccent("àâäéèêëïîöôùûüçñ") == "aaaeeeeiioouuucn")
+  }
+
+  test("levenshtein agrees with known distances") {
+    assert(Text.levenshtein("kitten", "sitting") == 3)
+    assert(Text.levenshtein("", "abc") == 3)
+    assert(Text.levenshtein("abc", "abc") == 0)
+    assert(Text.levRatio("elisabeth mwangi", "elisabet mwangi") > 0.79)
+  }
+
+  test("tokensWithPos matches \\b\\w+\\b semantics with offsets") {
+    val t = Text.tokensWithPos("Ali went to Rio-Plateado.")
+    assert(t == Vector(("ali", 0, 3), ("went", 4, 8), ("to", 9, 11),
+      ("rio", 12, 15), ("plateado", 16, 24)))
+  }
+
+  test("tokensWithPos offsets slice back to the token (property)") {
+    check(Prop.forAll(Gen.asciiStr) { s =>
+      Text.tokensWithPos(s).forall { case (tok, st, en) =>
+        s.substring(st, en).toLowerCase(java.util.Locale.ROOT) == tok
+      }
+    }, "token offsets")
+  }
+}
