@@ -4,8 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.pipeline.Pipeline
 import graft.canon.Canon
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
 import graft.relations.Relations
-import graft.verify.Oracle
+import graft.similarity.Ann
+import graft.streaming.Streaming
+import graft.textstats.TextStats
+import graft.verify.{Oracle, OracleOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -59,7 +64,32 @@ object SparkEntry {
       val ms = Pipeline.mentions(s, dir)
       Relations.mentionedIn(ms, Canon.canonicalMap(ms)).toDF()
         .select(col("subj"), col("pred"), col("obj"), col("url"))
-    })
+    }),
+
+    // --- dedup suite (documents ∪ planted dups) --------------------------
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(Dedup.corpus(s, dir))),
+    "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(Dedup.corpus(s, dir))),
+    "q_dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Dedup.corpus(s, dir))),
+    "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Dedup.corpus(s, dir))),
+    "q_dedup_embed" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
+
+    // --- similarity search ----------------------------------------------
+    "q_ann_topk" -> ((s, dir) => Ann.bruteTopK(Ann.embeddings(s, dir))),
+
+    // --- text analysis ---------------------------------------------------
+    "q_langid" -> ((s, dir) => TextStats.langId(TextStats.documents(s, dir))),
+    "q_quality" -> ((s, dir) => TextStats.quality(TextStats.documents(s, dir))),
+    "q_token_count" -> ((s, dir) => TextStats.tokenCounts(TextStats.documents(s, dir))),
+    "q_fingerprint" -> ((s, dir) => TextStats.fingerprints(TextStats.documents(s, dir))),
+
+    // --- multimodal metadata (binary column + stub decode) ---------------
+    "q_media_meta" -> ((s, dir) => Multimodal.decode(Multimodal.media(s, dir)).toDF()),
+
+    // --- events: windowed agg + sessionization ---------------------------
+    "q_events_window" -> ((s, dir) =>
+      Streaming.windowedAggBatch(s.read.parquet(s"$dir/events.parquet"))),
+    "q_sessions" -> ((s, dir) =>
+      Streaming.sessionizeBatch(s.read.parquet(s"$dir/events.parquet")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -71,6 +101,19 @@ object SparkEntry {
     "q_entity_rollup" -> Oracle.qEntityRollup,
     "q_canon" -> Oracle.qCanon,
     "q_triples" -> Oracle.qTriples,
-    "q_entity_prov" -> Oracle.qEntityProv
+    "q_entity_prov" -> Oracle.qEntityProv,
+    "q_dedup_exact" -> OracleOps.qDedupExact,
+    "q_dedup_ngram" -> OracleOps.qDedupNgram,
+    "q_dedup_minhash" -> OracleOps.qDedupMinhash,
+    "q_dedup_simhash" -> OracleOps.qDedupSimhash,
+    "q_dedup_embed" -> OracleOps.qDedupEmbed,
+    "q_ann_topk" -> OracleOps.qAnnTopk,
+    "q_langid" -> OracleOps.qLangid,
+    "q_quality" -> OracleOps.qQuality,
+    "q_token_count" -> OracleOps.qTokenCount,
+    "q_fingerprint" -> OracleOps.qFingerprint,
+    "q_media_meta" -> OracleOps.qMediaMeta,
+    "q_events_window" -> OracleOps.qEventsWindow,
+    "q_sessions" -> OracleOps.qSessions
   )
 }

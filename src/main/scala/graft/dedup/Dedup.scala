@@ -1,0 +1,170 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Config
+
+/** Deduplication suite for a large-scale training-data pipeline: exact
+  * (hash-groupBy), n-gram Jaccard similarity join, MinHash+LSH banded join,
+  * SimHash fingerprinting, embedding-cosine near-dup.
+  *
+  * All hashing is md5-based so the DuckDB oracle reproduces results exactly
+  * (md5 hex strings compare identically in both engines; a lexicographic min
+  * of hashes is a valid MinHash). At cluster scale the md5 minhash swaps for
+  * `xxhash64` one-liner — the plan shape (explode → band → join → verify) is
+  * the part that matters.
+  */
+object Dedup {
+
+  val ShingleN = 5
+
+  /** Dedup test corpus: normalized documents ∪ planted near-dups (10%-suffix
+    * truncation of every 5th doc) ∪ planted exact dups (copy of every 7th
+    * doc). Deterministic and mirrored in the oracle SQL.
+    */
+  def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+    val near = norm.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, 1, (length(text)*9) div 10)").as("text"))
+    val exact = norm.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    norm.unionByName(near).unionByName(exact)
+  }
+
+  /** Exact dedup: content-hash groupBy. (hash, n_docs, keeper=min id). */
+  def exact(corpus: DataFrame): DataFrame =
+    corpus.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+
+  /** Distinct word-5-gram shingles per doc. Whole-stage-codegen expression
+    * pipeline (split → transform/slice → explode), no UDF.
+    */
+  def shingles(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= ShingleN)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${ShingleN - 1}), i -> concat_ws(' ', slice(w, i, $ShingleN)))"
+      )).as("s"))
+      .distinct()
+
+  private def jaccardVerify(sh: DataFrame, cand: Option[DataFrame]): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = sh.select(col("doc_id").as("a"), col("s"))
+      .join(sh.select(col("doc_id").as("b"), col("s")), Seq("s"))
+      .filter(col("a") < col("b"))
+    val inter = cand.fold(shared)(c => shared.join(c, Seq("a", "b"), "left_semi"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .filter(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double") >= Config.JaccardThreshold)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
+  }
+
+  /** Near-dup pairs by exact n-gram Jaccard ≥ 0.8: inverted-index candidate
+    * join (pairs sharing ≥1 shingle) + count-based verification. Integer
+    * outputs (inter, na, nb) keep the oracle compare float-free.
+    */
+  def ngramJaccard(corpus: DataFrame): DataFrame =
+    jaccardVerify(shingles(corpus), None)
+
+  /** MinHash signatures: per (doc, seed) the lexicographic min of
+    * md5(seed:shingle) — k=12 seeds via a literal explode, map-side
+    * combinable min aggregate.
+    */
+  def minhashSignature(sh: DataFrame): DataFrame = {
+    val seeds = (0 until Config.MinHashK).map(lit(_))
+    sh.select(col("doc_id"), explode(array(seeds: _*)).as("sd"), col("s"))
+      .groupBy(col("doc_id"), col("sd"))
+      .agg(min(md5(concat(col("sd").cast("string"), lit(":"), col("s")))).as("h"))
+  }
+
+  /** LSH candidates: band keys = concat of r=3 adjacent signature slots;
+    * pairs sharing any band key. The banded self-join is the scale path —
+    * candidate count is bounded by bucket sizes, never all-pairs.
+    */
+  def minhashCandidates(sh: DataFrame): DataFrame = {
+    val r = Config.MinHashRows
+    val sigCols = (0 until Config.MinHashK).map(i =>
+      min(when(col("sd") === i, col("h"))).as(s"h$i"))
+    val sig = minhashSignature(sh)
+      .groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until Config.MinHashBands).map(b =>
+        struct(lit(b).as("band"),
+          concat((0 until r).map(i => col(s"h${b * r + i}")): _*).as("key"))): _*
+    )).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** MinHash LSH near-dup: banded candidates verified with exact Jaccard. */
+  def minhashLsh(corpus: DataFrame): DataFrame = {
+    val sh = shingles(corpus)
+    jaccardVerify(sh, Some(minhashCandidates(sh)))
+  }
+
+  /** SimHash (64-bit) per doc over the distinct-token set: bit b of a token
+    * = bit b of the first 16 hex chars of md5(token); document bit = sign of
+    * Σ(±1). Emitted as a 64-char bit string (engine-portable; packs to a
+    * long with bit ops at the storage layer).
+    */
+  def simhash(corpus: DataFrame): DataFrame = {
+    val toks = corpus
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .distinct()
+      .withColumn("h", md5(col("t")))
+    val bits = toks.select(col("doc_id"), col("h"),
+        explode(expr("sequence(0, 63)")).as("b"))
+      .withColumn("digit", expr("cast(conv(substring(h, cast(b / 4 as int) + 1, 1), 16, 10) as int)"))
+      .withColumn("shift", lit(3) - pmod(col("b"), lit(4)))
+      .withColumn("bit", expr("shiftright(digit, shift) & 1"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("bit") * 2 - 1).as("acc"))
+      .withColumn("ob", when(col("acc") > 0, lit("1")).otherwise(lit("0")))
+    bits.groupBy(col("doc_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(b, ob))), x -> x.ob), '')").as("simhash"))
+  }
+
+  /** Embedding near-dup corpus: base vectors (as double) ∪ planted
+    * near-identical variants (first component +0.01) for every 10th vector.
+    */
+  def embCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val variant = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("concat(array(element_at(v, 1) + 0.01d), slice(v, 2, size(v) - 1))").as("v"))
+    base.unionByName(variant)
+  }
+
+  /** Cosine similarity between two double-array columns as a codegen'd
+    * higher-order-function expression (no UDF): Σxy / √(Σx²·Σy²).
+    */
+  def cosineExpr(a: String, b: String): org.apache.spark.sql.Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0d, (s, x) -> s + x)") /
+      sqrt(expr(s"aggregate($a, 0d, (s, x) -> s + x * x)") *
+        expr(s"aggregate($b, 0d, (s, x) -> s + x * x)"))
+
+  /** Embedding-cosine near-dup pairs (cos ≥ 0.99). Brute all-pairs — the
+    * correctness baseline; [[graft.similarity.Ann]] holds the LSH-bucketed
+    * scale path.
+    */
+  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embCorpus(spark, sfDir)
+    val l = e.select(col("vec_id").as("a"), col("v").as("va"))
+    val r = e.select(col("vec_id").as("b"), col("v").as("vb"))
+    l.join(r, col("a") < col("b"))
+      .filter(cosineExpr("va", "vb") >= 0.99)
+      .select(col("a"), col("b"))
+  }
+}
