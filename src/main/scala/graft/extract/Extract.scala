@@ -77,14 +77,20 @@ object Extract {
   def segments(pages: Dataset[Page]): Dataset[Segment] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages.mapPartitions { it =>
-      it.flatMap { p =>
-        val html = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
-        paragraphs(html).zipWithIndex.map { case (t, i) =>
-          Segment(p.url, page = 1, seg_no = i + 1, seg_type = "Text", text = t)
+    // Project to (url, html) BEFORE the typed map: when pages come from a
+    // parquet/Iceberg scan this lets Catalyst prune the fat `text` column
+    // out of the read (ReadSchema carries only url+html).
+    pages.select(org.apache.spark.sql.functions.col("url"),
+        org.apache.spark.sql.functions.col("html"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (url, htmlBytes) =>
+          val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
+          paragraphs(html).zipWithIndex.map { case (t, i) =>
+            Segment(url, page = 1, seg_no = i + 1, seg_type = "Text", text = t)
+          }
         }
       }
-    }
   }
 
   /** Reconstructed page text = segment texts joined with one space — the

@@ -30,13 +30,46 @@ object Pipeline {
   def mentions(spark: SparkSession, sfDir: String): Dataset[Mention] =
     Mentions.scan(segments(spark, sfDir), Gazetteer.all.toArray)
 
+  // Session-scoped memo of the cached mention Dataset: many SparkEntry
+  // queries branch off the same scan, and Verify/Bench run them all in one
+  // process — cache() + reuse turns 9 rescans into 1 (same effect a
+  // materialized intermediate table has in a production run).
+  private val mentionMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Dataset[Mention]]()
+
+  def mentionsCached(spark: SparkSession, sfDir: String): Dataset[Mention] =
+    mentionMemo.computeIfAbsent((spark, sfDir), _ => mentions(spark, sfDir).cache())
+
+  // Canonical alias map is dimension-sized but costs a CC fixpoint loop —
+  // memoize it too (q_canon / q_entity_prov / q_eval_pairs / q_lineage all
+  // consume it).
+  private val canonMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def canonCached(spark: SparkSession, sfDir: String): DataFrame =
+    canonMemo.computeIfAbsent((spark, sfDir),
+      _ => Canon.canonicalMap(mentionsCached(spark, sfDir)).cache())
+
   /** All triples: segment co-occurrence + canonical provenance. */
   def triples(spark: SparkSession, sfDir: String): Dataset[Triple] = {
-    import spark.implicits._
-    val ms = mentions(spark, sfDir).cache()
+    val ms = mentionsCached(spark, sfDir)
     val cooc = Relations.cooccurrence(ms)
-    val canonMap = Canon.canonicalMap(ms)
-    val prov = Relations.mentionedIn(ms, canonMap)
+    val prov = Relations.mentionedIn(ms, canonCached(spark, sfDir))
+    cooc.unionByName(prov)
+  }
+
+  /** Bench-only flagship over an amplified corpus (factor deterministic
+    * copies of every page, distinct urls): at the sandbox SFs the raw corpus
+    * is KBs per partition and driver fixed costs dominate, which would make
+    * any parallelism measurement meaningless; amplification restores a
+    * data-proportional extract→scan→shuffle profile. No memoization — this
+    * path must pay full cost every run.
+    */
+  def triplesAmplified(spark: SparkSession, sfDir: String, factor: Int): Dataset[Triple] = {
+    val pages = Pages.synthesizeAmplified(spark, sfDir, factor)
+    val ms = Mentions.scan(Extract.segments(pages), Gazetteer.all.toArray).cache()
+    val cooc = Relations.cooccurrence(ms)
+    val prov = Relations.mentionedIn(ms, Canon.canonicalMap(ms))
     cooc.unionByName(prov)
   }
 }

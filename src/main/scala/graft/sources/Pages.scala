@@ -109,4 +109,22 @@ object Pages {
       .as[(Long, String, String)]
       .map { case (id, text, lang) => pageOf(id, text, lang) }
   }
+
+  /** Amplified synthesis for benchmarking: `factor` deterministic copies per
+    * base document, each with a distinct derived doc id (shifts the plant /
+    * domain arithmetic, so copies are distinct pages, not duplicates). The
+    * flatMap stays narrow; `repartition` spreads the amplified rows across
+    * the session's cores so parallelism actually engages.
+    */
+  def synthesizeAmplified(spark: SparkSession, sfDir: String, factor: Int): Dataset[Page] = {
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang")
+      .as[(Long, String, String)]
+      .repartition(parts)
+      .flatMap { case (id, text, lang) =>
+        (0 until factor).iterator.map(c => pageOf(id + c.toLong * 10000000L, text, lang))
+      }
+  }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.materialize.Materialize
+import graft.model.Triple
+
+class MaterializeSpec extends SparkSpec {
+
+  private def sampleTriples = {
+    import spark.implicits._
+    (0 until 40).map { i =>
+      Triple(s"e$i", "mentioned_in", s"https://x/doc/$i", s"https://x/doc/$i", 1.0)
+    }.toDS()
+  }
+
+  test("writeTriples is resumable: second run writes only missing buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mat").toString
+    val ts = sampleTriples
+    // first run: restrict to buckets 0..3 by filtering input urls
+    val firstRows = Materialize.writeTriples(
+      ts.filter((t: Triple) => (t.url.split("/doc/")(1).toLong % 8) < 4),
+      dir, nBuckets = 8, batchId = 0)
+    assert(firstRows.map(_.bucket).toSet == Set(0, 1, 2, 3))
+    // resumed run over the FULL input: must write only buckets 4..7
+    val secondRows = Materialize.writeTriples(ts, dir, nBuckets = 8, batchId = 1)
+    assert(secondRows.map(_.bucket).toSet == Set(4, 5, 6, 7))
+    // materialized table has every row exactly once
+    assert(Materialize.readTriples(spark, dir).count() == 40)
+    // lineage covers all 8 buckets, 5 rows each (40 ids round-robin over 8)
+    val lineage = Materialize.readLineage(spark, dir)
+    assert(lineage.count() == 8)
+    assert(lineage.agg(sum("n_rows")).head.getLong(0) == 40)
+    // idempotent: a third run writes nothing
+    assert(Materialize.writeTriples(ts, dir, nBuckets = 8, batchId = 2).isEmpty)
+  }
+
+  test("instrumented emits one metric row per partition with exact row counts") {
+    import spark.implicits._
+    val acc = Materialize.newMetricsAcc(spark, "m")
+    val ds = spark.range(100).map(_.toString).repartition(4)
+    val out = Materialize.instrumented(ds, "stage1", acc)
+    assert(out.count() == 100)
+    import scala.jdk.CollectionConverters._
+    val rows = acc.value.asScala.toList
+    assert(rows.map(_.partition_id).toSet.size == 4)
+    assert(rows.map(_.rows_out).sum == 100)
+    assert(rows.forall(_.stage == "stage1"))
+  }
+
+  test("bucketCol derives the url-embedded id deterministically") {
+    import spark.implicits._
+    val df = Seq("https://a.example.org/doc/17", "https://b.example.org/doc/32")
+      .toDF("url").withColumn("b", Materialize.bucketCol(16))
+    assert(df.select("b").as[Int].collect().toSeq == Seq(1, 0))
+  }
+}
