@@ -52,6 +52,53 @@ object Canon {
       .distinct()
   }
 
+  /** MinHash-banded similarity edges (the north-star scale path for
+    * surface-form clustering): char-3-gram shingles of the normalized key →
+    * k=12 min-hashes → 4 bands of 3 → equi-self-join on (band, key) →
+    * verification with the same reference thresholds as [[similarityEdges]].
+    * At corpus scale this bounds candidate pairs by band-bucket sizes where
+    * token blocking would hot-spot on stop-word-ish tokens; md5 is used for
+    * hashing so the DuckDB oracle reproduces signatures exactly (swap for
+    * xxhash64 outside the sandbox — plan shape unchanged).
+    */
+  def minhashEdges(stats: DataFrame): DataFrame = {
+    import graft.model.Config.{MinHashBands, MinHashK, MinHashRows}
+    val sh = stats.select(col("surface"), col("sim_key"))
+      .withColumn("s", explode(expr(
+        "array_distinct(transform(sequence(1, greatest(length(sim_key) - 2, 1)), i -> substring(sim_key, i, 3)))")))
+    val seeds = (0 until MinHashK).map(lit(_))
+    val sigCols = (0 until MinHashK).map(i =>
+      min(when(col("sd") === i, col("h"))).as(s"h$i"))
+    val sig = sh.select(col("surface"), explode(array(seeds: _*)).as("sd"), col("s"))
+      .groupBy(col("surface"), col("sd"))
+      .agg(min(md5(concat(col("sd").cast("string"), lit(":"), col("s")))).as("h"))
+      .groupBy(col("surface"))
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bands = sig.select(col("surface"), explode(array(
+      (0 until MinHashBands).map(b =>
+        struct(lit(b).as("band"),
+          concat((0 until MinHashRows).map(i => col(s"h${b * MinHashRows + i}")): _*).as("key"))): _*
+    )).as("bk"))
+      .select(col("surface"), col("bk.band"), col("bk.key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.surface") < col("y.surface"))
+      .select(col("x.surface").as("a"), col("y.surface").as("b"))
+      .distinct()
+    val dims = stats.select(col("surface"), col("sim_key"), col("words"))
+    val overlap = size(array_intersect(col("wa"), col("wb"))).cast("double") /
+      greatest(size(col("wa")), size(col("wb"))).cast("double")
+    val levRatio = lit(1.0) - levenshtein(col("ka"), col("kb")).cast("double") /
+      greatest(length(col("ka")), length(col("kb"))).cast("double")
+    cand
+      .join(dims.select(col("surface").as("a"), col("sim_key").as("ka"), col("words").as("wa")), "a")
+      .join(dims.select(col("surface").as("b"), col("sim_key").as("kb"), col("words").as("wb")), "b")
+      .filter(col("ka") === col("kb") ||
+        levRatio > Config.LevRatioThreshold ||
+        overlap >= Config.WordOverlapThreshold)
+      .select(col("a"), col("b"))
+  }
+
   /** Connected components over an undirected string-keyed edge list, pure
     * DataFrame iteration (no GraphX — north_rule): iterative min-label
     * propagation, `localCheckpoint` per round to cut lineage, converges in
@@ -84,6 +131,77 @@ object Canon {
       iter += 1
     }
     labels
+  }
+
+  /** Pair-level evaluation of a canonicalization vs golden alias groups —
+    * the deterministic form of the reference's label-group matching + metric
+    * print (check_performance.py:63-89, SURVEY §2.4 J10 + §2.5 A8). Standard
+    * ER pair metric: within-cluster pairs predicted vs golden (restricted to
+    * surfaces present in the prediction), all counts integer.
+    */
+  def pairEval(canonMap: DataFrame, golden: DataFrame): DataFrame = {
+    val cm = canonMap.select(col("surface"), col("canonical"))
+    val pred = cm.as("x").join(cm.as("y"),
+        col("x.canonical") === col("y.canonical") && col("x.surface") < col("y.surface"))
+      .select(col("x.surface").as("a"), col("y.surface").as("b"))
+    val g = golden.join(cm.select(col("surface")), "surface")
+    val gold = g.as("x").join(g.as("y"),
+        col("x.group_id") === col("y.group_id") && col("x.surface") < col("y.surface"))
+      .select(col("x.surface").as("a"), col("y.surface").as("b"))
+    val correct = pred.intersect(gold)
+    pred.agg(count(lit(1)).as("n_pred_pairs"))
+      .crossJoin(gold.agg(count(lit(1)).as("n_gold_pairs")))
+      .crossJoin(correct.agg(count(lit(1)).as("n_correct_pairs")))
+  }
+
+  /** Surface dimension (surface, sim_key, words) from a static list — used
+    * by the heuristic edge queries over gazetteer dimensions.
+    */
+  def surfaceDim(spark: org.apache.spark.sql.SparkSession, surfaces: Seq[String]): DataFrame = {
+    import spark.implicits._
+    surfaces.toDF("surface")
+      .withColumn("sim_key", lower(unaccent(col("surface"))))
+      .withColumn("words", array_distinct(split(col("sim_key"), " ")))
+  }
+
+  /** C4 word-bag-subset edges (check_heuristics.use_part_of_the_name:63-97):
+    * (a, b) where a's ≥2 normalized words are all contained in b's and b has
+    * strictly more words. Blocked on a shared token — never all-pairs.
+    */
+  def subsetEdges(dim: DataFrame): DataFrame = {
+    val toks = dim.select(col("surface"), col("words"))
+      .withColumn("tok", explode(col("words")))
+    val l = toks.select(col("surface").as("a"), col("words").as("wa"), col("tok").as("tok_a"))
+    val r = toks.select(col("surface").as("b"), col("words").as("wb"), col("tok").as("tok_b"))
+    l.join(r, col("tok_a") === col("tok_b") && col("a") =!= col("b"))
+      .filter(size(col("wa")) >= 2 &&
+        size(col("wb")) > size(col("wa")) &&
+        size(array_except(col("wa"), col("wb"))) === 0)
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  /** C5 abbreviation edges (check_heuristics.fix_abbreviations:191-226):
+    * a has ≥1 single-letter initial (after punctuation strip); b contains all
+    * of a's full words; every initial of a prefixes some extra word of b.
+    * Blocked on a shared full word.
+    */
+  def abbrevEdges(dim: DataFrame): DataFrame = {
+    val cleaned = dim
+      .withColumn("cw", expr("transform(words, w -> regexp_replace(w, '[^a-z0-9]', ''))"))
+      .withColumn("initials", expr("filter(cw, w -> length(w) = 1)"))
+      .withColumn("fulls", expr("filter(cw, w -> length(w) > 1)"))
+    val l = cleaned.filter(size(col("initials")) >= 1 && size(col("fulls")) >= 1)
+      .select(col("surface").as("a"), col("initials"), col("fulls").as("fa"),
+        explode(col("fulls")).as("tok_a"))
+    val r = cleaned.filter(size(col("initials")) === 0)
+      .select(col("surface").as("b"), col("cw").as("wb"), explode(col("cw")).as("tok_b"))
+    l.join(r, col("tok_a") === col("tok_b"))
+      .filter(size(array_except(col("fa"), col("wb"))) === 0)
+      .withColumn("extra", expr("array_except(wb, fa)"))
+      .filter(expr("forall(initials, i -> exists(extra, w -> startswith(w, i)))"))
+      .select(col("a"), col("b"))
+      .distinct()
   }
 
   /** Deterministic canonical representative per component: most words, then

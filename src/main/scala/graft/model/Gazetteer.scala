@@ -63,6 +63,13 @@ object Gazetteer {
     "Section 19", "Article 128", "Section 62", "Article 9"
   )
 
+  /** Abbreviated person variants — exercised by the C5 abbreviation-edge
+    * heuristic (check_heuristics.fix_abbreviations, SURVEY §2.7). Kept OUT of
+    * [[persons]] so the planted-corpus index arithmetic is untouched; these
+    * join the similarity graph only through [[graft.canon.Canon.abbrevEdges]].
+    */
+  val abbrevPersons: Vector[String] = Vector("H. Johansson", "M. E. Vasquez")
+
   /** All (surface, label) rows — the broadcast dimension table. */
   val all: Vector[(String, String)] =
     persons.map(_ -> "PERSON") ++ orgs.map(_ -> "ORG") ++

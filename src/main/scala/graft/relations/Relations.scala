@@ -2,7 +2,7 @@ package graft.relations
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import graft.model.{Mention, Triple}
+import graft.model.{Mention, Segment, Triple}
 
 /** Relation extraction: per-segment label co-occurrence pairing — the Spark
   * form of the reference's proto-triple emission (cardinal × law per segment,
@@ -42,6 +42,45 @@ object Relations {
           } yield Triple(s, pred, o, url, 1.0)
         }
       }
+  }
+
+  /** Connector-word → predicate table for pattern extraction. */
+  val patternPreds: Map[String, String] = Map(
+    "representing" -> "represents",
+    "cited" -> "cites",
+    "of" -> "of")
+
+  /** OpenIE-style pattern triples (north_star "dependency-pattern triple
+    * extraction", deterministic form): for ADJACENT mention pairs within a
+    * segment (sorted by start), the connector text between the spans is
+    * looked up in [[patternPreds]]; a hit emits (a.surface, pred, b.surface).
+    * The reference's analog is the per-segment provision↔law pairing with
+    * query matching (src/create_reference_data.py:16-32,
+    * src/methods/TransformerReferenceExtractor.py:72-88).
+    *
+    * Plan: typed cogroup of mentions and segments on the (url, page, seg_no)
+    * key — ONE shuffle on a high-cardinality key, pairing is group-local.
+    */
+  def patternTriples(segments: Dataset[Segment], mentions: Dataset[Mention]): Dataset[Triple] = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    val preds = patternPreds
+    val segByKey = segments.groupByKey(s => (s.url, s.page, s.seg_no))
+    val menByKey = mentions.groupByKey(m => (m.url, m.page, m.seg_no))
+    menByKey.cogroup(segByKey) { (key, ms, ss) =>
+      val text = if (ss.hasNext) Some(ss.next().text) else None
+      text match {
+        case None => Iterator.empty
+        case Some(t) =>
+          val sorted = ms.toArray.sortBy(_.start)
+          sorted.iterator.zip(sorted.iterator.drop(1)).flatMap { case (a, b) =>
+            if (a.end <= b.start && b.start <= t.length) {
+              val between = t.substring(a.end, b.start).trim
+              preds.get(between).map(p => Triple(a.surface, p, b.surface, key._1, 1.0))
+            } else None
+          }
+      }
+    }
   }
 
   /** Provenance triples (canonical_entity, mentioned_in, url) — subjects

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.functions.Dates
+
+class DatesSpec extends AnyFunSuite {
+
+  test("parses the grammar shapes") {
+    import java.time.LocalDate
+    assert(Dates.parse("2021-03-09").contains(LocalDate.of(2021, 3, 9)))
+    assert(Dates.parse("9 March 2021").contains(LocalDate.of(2021, 3, 9)))
+    assert(Dates.parse("March 9, 2021").contains(LocalDate.of(2021, 3, 9)))
+    assert(Dates.parse("9 de marzo de 2021").contains(LocalDate.of(2021, 3, 9)))
+    assert(Dates.parse("09/03/2021").contains(LocalDate.of(2021, 3, 9)))
+    assert(Dates.parse("  9   March  2021 ").contains(LocalDate.of(2021, 3, 9)))
+  }
+
+  test("rejects junk and out-of-range dates (F4 parse filter)") {
+    assert(Dates.parse("not a date").isEmpty)
+    assert(Dates.parse("2021-13-40").isEmpty)
+    assert(Dates.parse("31 February 2021").isEmpty)
+    assert(Dates.parse("12 Smarch 2021").isEmpty)
+  }
+
+  test("render → parse round-trips for every style (property)") {
+    val genDate = for {
+      y <- Gen.choose(1900, 2100)
+      m <- Gen.choose(1, 12)
+      d <- Gen.choose(1, 28)
+      s <- Gen.choose(0, 3)
+    } yield (y, m, d, s)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(genDate) { case (y, m, d, s) =>
+        Dates.parse(Dates.render(y, m, d, s))
+          .contains(java.time.LocalDate.of(y, m, d))
+      })
+    assert(res.passed, res.toString)
+  }
+}
