@@ -42,28 +42,116 @@ object SparkEntry {
         .select(col("url"), col("lang"), length(col("text")).cast("long").as("text_len"))
     }),
     "q_mentions" -> ((s, dir) => {
-      Pipeline.mentions(s, dir).toDF()
+      Pipeline.mentionsCached(s, dir).toDF()
         .groupBy(col("url"), col("surface"), col("label"))
         .agg(count(lit(1)).as("n"))
     }),
     "q_entity_rollup" -> ((s, dir) => {
-      Pipeline.mentions(s, dir).toDF()
+      Pipeline.mentionsCached(s, dir).toDF()
         .groupBy(col("surface"), col("label"))
         .agg(count(lit(1)).as("n_mentions"),
           countDistinct(col("url")).as("n_urls"))
     }),
     "q_canon" -> ((s, dir) => {
-      Canon.canonicalMap(Pipeline.mentions(s, dir))
+      Pipeline.canonCached(s, dir)
     }),
     "q_triples" -> ((s, dir) => {
-      Relations.cooccurrence(Pipeline.mentions(s, dir)).toDF()
+      Relations.cooccurrence(Pipeline.mentionsCached(s, dir)).toDF()
+        .groupBy(col("subj"), col("pred"), col("obj"), col("url"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q_pattern_triples" -> ((s, dir) => {
+      Relations.patternTriples(
+          Pipeline.segments(s, dir), Pipeline.mentionsCached(s, dir)).toDF()
         .groupBy(col("subj"), col("pred"), col("obj"), col("url"))
         .agg(count(lit(1)).as("n"))
     }),
     "q_entity_prov" -> ((s, dir) => {
-      val ms = Pipeline.mentions(s, dir)
-      Relations.mentionedIn(ms, Canon.canonicalMap(ms)).toDF()
+      val ms = Pipeline.mentionsCached(s, dir)
+      Relations.mentionedIn(ms, Pipeline.canonCached(s, dir)).toDF()
         .select(col("subj"), col("pred"), col("obj"), col("url"))
+    }),
+
+    // --- canonicalization heuristics + evaluation -------------------------
+    "q_canon_subset" -> ((s, dir) => {
+      Canon.subsetEdges(Canon.surfaceStats(Pipeline.mentionsCached(s, dir)))
+    }),
+    "q_canon_minhash" -> ((s, dir) => {
+      Canon.minhashEdges(Canon.surfaceStats(Pipeline.mentionsCached(s, dir)))
+    }),
+    "q_canon_abbrev" -> ((s, dir) => {
+      import graft.model.Gazetteer
+      Canon.abbrevEdges(
+        Canon.surfaceDim(s, Gazetteer.persons ++ Gazetteer.abbrevPersons))
+    }),
+    "q_eval_pairs" -> ((s, dir) => {
+      import graft.model.Gazetteer
+      import s.implicits._
+      val canon = Pipeline.canonCached(s, dir)
+      val golden = Gazetteer.goldenAliasGroups.toDF("group_id", "surface")
+      Canon.pairEval(canon, golden)
+    }),
+    "q_normalize" -> ((s, dir) => {
+      Pipeline.mentionsCached(s, dir).toDF()
+        .filter(col("label") === "PERSON").select(col("surface")).distinct()
+        .select(col("surface"),
+          expr("concat_ws(' ', transform(split(surface, ' '), w -> concat(upper(substring(w, 1, 1)), lower(substring(w, 2)))))").as("title_case"),
+          lower(graft.functions.expressions.unaccent(col("surface"))).as("folded"),
+          regexp_replace(col("surface"), "[^a-zA-Z0-9 ]", "").as("depunct"),
+          array_join(array_sort(split(lower(col("surface")), " ")), " ").as("word_bag"))
+    }),
+
+    // --- windows / sort / limit over driver tables ------------------------
+    "q_window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"),
+          row_number().over(w).cast("long").as("rn"),
+          count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, -1)).as("n_prior"))
+    }),
+    "q_topk_entities" -> ((s, dir) => {
+      Pipeline.mentionsCached(s, dir).toDF()
+        .groupBy(col("surface")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("surface"))
+        .limit(10)
+    }),
+    "q_sentences" -> ((s, dir) => {
+      Pipeline.pages(s, dir).toDF()
+        .select(col("url"),
+          size(split(col("text"), "(?<=[.!?])\\s+")).cast("long").as("n_sentences"))
+    }),
+
+    // --- skew: salted two-phase agg over the head-domain key --------------
+    "q_domain_stats" -> ((s, dir) => {
+      graft.skew.Skew.domainStats(Pipeline.pages(s, dir).toDF())
+    }),
+
+    // --- entity linking (prior + context cosine) --------------------------
+    "q_linking" -> ((s, dir) => {
+      graft.linking.Linking.link(Pipeline.mentionsCached(s, dir).toDF(), s, dir)
+    }),
+
+    // --- NL date parsing round-trip (P11) ---------------------------------
+    "q_dates" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), year(col("ts")).as("y"),
+          month(col("ts")).as("m"), dayofmonth(col("ts")).as("d"))
+        .as[(Long, Int, Int, Int)]
+        .map { case (id, y, m, d) =>
+          val rendered = graft.functions.Dates.render(y, m, d, (id % 4).toInt)
+          (id, graft.functions.Dates.parse(rendered).get.toString)
+        }.toDF("event_id", "parsed_date")
+    }),
+
+    // --- materialize + lineage (checkpoint-resume surface) ----------------
+    "q_lineage" -> ((s, dir) => {
+      import graft.materialize.Materialize
+      val out = java.nio.file.Files.createTempDirectory("graft-q-lineage").toString
+      Materialize.writeTriples(Pipeline.triples(s, dir), out, nBuckets = 16)
+      Materialize.readLineage(s, out)
+        .groupBy(col("bucket")).agg(sum(col("n_rows")).as("n_rows"))
     }),
 
     // --- dedup suite (documents ∪ planted dups) --------------------------
@@ -102,6 +190,19 @@ object SparkEntry {
     "q_canon" -> Oracle.qCanon,
     "q_triples" -> Oracle.qTriples,
     "q_entity_prov" -> Oracle.qEntityProv,
+    "q_canon_subset" -> Oracle.qCanonSubset,
+    "q_canon_minhash" -> Oracle.qCanonMinhash,
+    "q_canon_abbrev" -> Oracle.qCanonAbbrev,
+    "q_eval_pairs" -> Oracle.qEvalPairs,
+    "q_normalize" -> Oracle.qNormalize,
+    "q_window_running" -> Oracle.qWindowRunning,
+    "q_topk_entities" -> Oracle.qTopkEntities,
+    "q_sentences" -> Oracle.qSentences,
+    "q_linking" -> Oracle.qLinking,
+    "q_pattern_triples" -> Oracle.qPatternTriples,
+    "q_dates" -> Oracle.qDates,
+    "q_domain_stats" -> Oracle.qDomainStats,
+    "q_lineage" -> Oracle.qLineage,
     "q_dedup_exact" -> OracleOps.qDedupExact,
     "q_dedup_ngram" -> OracleOps.qDedupNgram,
     "q_dedup_minhash" -> OracleOps.qDedupMinhash,

@@ -91,6 +91,34 @@ object Oracle {
     JOIN (SELECT doc_id, SUM(slen) AS total, COUNT(*) AS nsent FROM sent GROUP BY doc_id) s
       ON s.doc_id = d.doc_id"""
 
+  /** Skewed-key salted aggregation: per-domain page count + total text
+    * length (engine side computes via two-phase salting; result must equal
+    * the plain GROUP BY).
+    */
+  val qDomainStats: String =
+    s"""WITH $baseCtes,
+    sent AS (
+      SELECT pl.doc_id,
+             length(p.surface || ' representing ' || o.surface || ' of ' || g.surface ||
+                    ' cited ' || pr.surface || ' of ' || l.surface || '.') AS slen
+      FROM plants pl
+      JOIN persons p ON p.idx = (pl.doc_id*7 + pl.j*13) % ${Gazetteer.persons.length}
+      JOIN orgs o ON o.idx = (pl.doc_id*13 + pl.j*29) % ${Gazetteer.orgs.length}
+      JOIN gpes g ON g.idx = (pl.doc_id*11 + pl.j*17) % ${Gazetteer.gpes.length}
+      JOIN provisions pr ON pr.idx = (pl.doc_id*3 + pl.j*23) % ${Gazetteer.provisions.length}
+      JOIN laws l ON l.idx = (pl.doc_id*5 + pl.j*19) % ${Gazetteer.laws.length}
+      GROUP BY pl.doc_id, pl.j, slen
+    ),
+    tl AS (
+      SELECT d.doc_id, CAST($domainCase AS INT) AS domain,
+             length(regexp_replace(trim(d.text), '\\s+', ' ', 'g')) + s.total + s.nsent AS text_len
+      FROM documents d
+      JOIN (SELECT doc_id, SUM(slen) AS total, COUNT(*) AS nsent FROM sent GROUP BY doc_id) s
+        ON s.doc_id = d.doc_id
+    )
+    SELECT domain, COUNT(*) AS n_pages, SUM(text_len) AS total_text_len
+    FROM tl GROUP BY domain"""
+
   /** Expected resolved mentions per (url, surface, label) with counts. */
   val qMentions: String =
     s"""WITH $baseCtes
@@ -166,6 +194,205 @@ object Oracle {
     JOIN bySeg o ON o.label = r.ol AND o.doc_id = s.doc_id AND o.j = s.j
     JOIN docs dd ON dd.doc_id = s.doc_id
     GROUP BY s.surface, r.pred, o.surface, dd.url"""
+
+  /** C4 word-bag-subset edges over live PERSON surfaces. */
+  val qCanonSubset: String =
+    s"""WITH $baseCtes,
+    keyed AS (SELECT DISTINCT surface, lower(strip_accents(surface)) AS sim_key FROM pm WHERE label='PERSON'),
+    words AS (SELECT surface, list_distinct(string_split(sim_key, ' ')) AS w FROM keyed),
+    toks AS (SELECT surface, unnest(w) AS tok FROM words),
+    cand AS (SELECT DISTINCT ta.surface AS a, tb.surface AS b
+             FROM toks ta JOIN toks tb ON ta.tok = tb.tok AND ta.surface <> tb.surface)
+    SELECT DISTINCT c.a, c.b FROM cand c
+    JOIN words wa ON wa.surface = c.a JOIN words wb ON wb.surface = c.b
+    WHERE len(wa.w) >= 2 AND len(wb.w) > len(wa.w)
+      AND len(list_filter(wa.w, x -> NOT list_contains(wb.w, x))) = 0"""
+
+  /** C5 abbreviation edges over the static persons ∪ abbrevPersons dim. */
+  val qCanonAbbrev: String = {
+    val dim = (Gazetteer.persons ++ Gazetteer.abbrevPersons)
+      .map(s => s"('${s.replace("'", "''")}')").mkString(", ")
+    s"""WITH dim(surface) AS (VALUES $dim),
+    keyed AS (SELECT surface, lower(strip_accents(surface)) AS sim_key FROM dim),
+    words AS (SELECT surface, list_distinct(string_split(sim_key, ' ')) AS w FROM keyed),
+    parts AS (SELECT surface, list_transform(w, x -> regexp_replace(x, '[^a-z0-9]', '', 'g')) AS cw FROM words),
+    split3 AS (SELECT surface, cw,
+                 list_filter(cw, x -> length(x) = 1) AS initials,
+                 list_filter(cw, x -> length(x) > 1) AS fulls FROM parts),
+    l AS (SELECT surface AS a, initials, fulls FROM split3 WHERE len(initials) >= 1 AND len(fulls) >= 1),
+    r AS (SELECT surface AS b, cw AS wb FROM split3 WHERE len(initials) = 0),
+    lt AS (SELECT a, initials, fulls, unnest(fulls) AS tok FROM l),
+    rt AS (SELECT b, wb, unnest(wb) AS tok FROM r),
+    cand AS (SELECT DISTINCT lt.a, lt.initials, lt.fulls, rt.b, rt.wb FROM lt JOIN rt ON lt.tok = rt.tok)
+    SELECT DISTINCT a, b FROM cand
+    WHERE len(list_filter(fulls, x -> NOT list_contains(wb, x))) = 0
+      AND len(list_filter(initials, i ->
+            len(list_filter(list_filter(wb, x -> NOT list_contains(fulls, x)),
+                            w -> starts_with(w, i))) > 0)) = len(initials)"""
+  }
+
+  /** MinHash-banded similarity edges over live PERSON surfaces — mirror of
+    * Canon.minhashEdges (char-3-gram shingles, k=12 md5 min-hashes, 4 bands,
+    * reference-threshold verification).
+    */
+  val qCanonMinhash: String = {
+    val k = Config.MinHashK
+    val r = Config.MinHashRows
+    val sigCols = (0 until k).map(i => s"MIN(CASE WHEN sd = $i THEN h END) AS h$i").mkString(", ")
+    val bandSelects = (0 until Config.MinHashBands).map { b =>
+      val key = (0 until r).map(i => s"h${b * r + i}").mkString(" || ")
+      s"SELECT surface, $b AS band, $key AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $baseCtes,
+    keyed AS (SELECT DISTINCT surface, lower(strip_accents(surface)) AS sim_key FROM pm WHERE label='PERSON'),
+    words AS (SELECT surface, list_distinct(string_split(sim_key, ' ')) AS w FROM keyed),
+    pos AS (SELECT surface, sim_key,
+              unnest(range(1, greatest(length(sim_key) - 2, 1) + 1)) AS i FROM keyed),
+    sh AS (SELECT DISTINCT surface, substr(sim_key, CAST(i AS INT), 3) AS s FROM pos),
+    seeds AS (SELECT unnest([${(0 until k).mkString(",")}]) AS sd),
+    mh AS (SELECT surface, sd, MIN(md5(CAST(sd AS VARCHAR) || ':' || s)) AS h
+           FROM sh, seeds GROUP BY surface, sd),
+    sig AS (SELECT surface, $sigCols FROM mh GROUP BY surface),
+    bands AS ($bandSelects),
+    cand AS (SELECT DISTINCT x.surface AS a, y.surface AS b
+             FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.surface < y.surface)
+    SELECT c.a, c.b FROM cand c
+    JOIN keyed ka ON ka.surface = c.a JOIN keyed kb ON kb.surface = c.b
+    JOIN words wa ON wa.surface = c.a JOIN words wb ON wb.surface = c.b
+    WHERE ka.sim_key = kb.sim_key
+       OR 1.0 - CAST(levenshtein(ka.sim_key, kb.sim_key) AS DOUBLE) /
+                greatest(length(ka.sim_key), length(kb.sim_key)) > ${Config.LevRatioThreshold}
+       OR CAST(len(list_filter(wa.w, x -> list_contains(wb.w, x))) AS DOUBLE) /
+          greatest(len(wa.w), len(wb.w)) >= ${Config.WordOverlapThreshold}"""
+  }
+
+  /** Pair-level P/R evaluation vs golden alias groups (J10 + A8). */
+  val qEvalPairs: String = {
+    val golden = Gazetteer.goldenAliasGroups
+      .map { case (g, s) => s"($g, '${s.replace("'", "''")}')" }.mkString(", ")
+    s"""WITH RECURSIVE $baseCtes, $canonCtes,
+    golden(group_id, surface) AS (VALUES $golden),
+    pred AS (SELECT x.surface AS a, y.surface AS b FROM canonmap x
+             JOIN canonmap y ON x.canonical = y.canonical AND x.surface < y.surface),
+    g AS (SELECT go.group_id, go.surface FROM golden go JOIN canonmap p ON p.surface = go.surface),
+    gold AS (SELECT x.surface AS a, y.surface AS b FROM g x
+             JOIN g y ON x.group_id = y.group_id AND x.surface < y.surface),
+    correct AS (SELECT DISTINCT p.a, p.b FROM pred p JOIN gold g ON g.a = p.a AND g.b = p.b)
+    SELECT (SELECT COUNT(*) FROM pred) AS n_pred_pairs,
+           (SELECT COUNT(*) FROM gold) AS n_gold_pairs,
+           (SELECT COUNT(*) FROM correct) AS n_correct_pairs"""
+  }
+
+  /** Normalization projections (P2/P3/P4/P5) over live PERSON surfaces. */
+  val qNormalize: String =
+    s"""WITH $baseCtes,
+    surf AS (SELECT DISTINCT surface FROM pm WHERE label='PERSON')
+    SELECT surface,
+      array_to_string(list_transform(string_split(surface, ' '),
+        w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), ' ') AS title_case,
+      lower(strip_accents(surface)) AS folded,
+      regexp_replace(surface, '[^a-zA-Z0-9 ]', '', 'g') AS depunct,
+      array_to_string(list_sort(string_split(lower(surface), ' ')), ' ') AS word_bag
+    FROM surf"""
+
+  /** Ranking + frame-spec windows over orders (A4/A5). */
+  val qWindowRunning: String =
+    """SELECT o_orderkey, o_custkey,
+      ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+      COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_prior
+    FROM orders"""
+
+  /** Top-k entities by mention count (O1 sort + O6 limit). */
+  val qTopkEntities: String =
+    s"""WITH $baseCtes
+    SELECT pm.surface, COUNT(*) AS n FROM pm
+    GROUP BY pm.surface ORDER BY n DESC, surface LIMIT 10"""
+
+  /** Sentence count per page (P6): engine splits generated text by regex;
+    * oracle re-derives from plant arithmetic (nPlanted sentences per page,
+    * base text is punctuation-free word soup).
+    */
+  val qSentences: String =
+    s"""WITH $baseCtes
+    SELECT dd.url, CAST(d.doc_id % 3 + 1 AS BIGINT) AS n_sentences
+    FROM documents d JOIN docs dd ON dd.doc_id = d.doc_id"""
+
+  /** Lineage row counts per bucket after materializing the flagship triples:
+    * cooccurrence contributes 3 rows per planted segment; provenance one row
+    * per distinct (canonical person, url).
+    */
+  val qLineage: String =
+    s"""WITH RECURSIVE $baseCtes, $canonCtes,
+    prov AS (SELECT DISTINCT m.doc_id, cm.canonical
+             FROM (SELECT DISTINCT doc_id, surface FROM pm WHERE label = 'PERSON') m
+             JOIN canonmap cm ON cm.surface = m.surface),
+    np AS (SELECT doc_id, COUNT(*) AS n FROM prov GROUP BY doc_id),
+    tot AS (SELECT d.doc_id, 3 * (d.doc_id % 3 + 1) + COALESCE(np.n, 0) AS n
+            FROM documents d LEFT JOIN np ON np.doc_id = d.doc_id)
+    SELECT CAST(doc_id % 16 AS INT) AS bucket, SUM(n) AS n_rows FROM tot GROUP BY 1"""
+
+  /** Pattern triples: each planted sentence
+    * "P representing O of G cited PR of L." yields adjacent-pair connector
+    * triples P-represents-O, O-of-G, G-cites-PR, PR-of-L.
+    */
+  val qPatternTriples: String = {
+    val nP = Gazetteer.persons.length
+    val nO = Gazetteer.orgs.length
+    val nG = Gazetteer.gpes.length
+    val nPr = Gazetteer.provisions.length
+    val nL = Gazetteer.laws.length
+    s"""WITH $baseCtes,
+    sent AS (
+      SELECT pl.doc_id, pl.j, p.surface AS ps, o.surface AS os, g.surface AS gs,
+             pr.surface AS prs, l.surface AS ls
+      FROM plants pl
+      JOIN persons p ON p.idx = (pl.doc_id*7 + pl.j*13) % $nP
+      JOIN orgs o ON o.idx = (pl.doc_id*13 + pl.j*29) % $nO
+      JOIN gpes g ON g.idx = (pl.doc_id*11 + pl.j*17) % $nG
+      JOIN provisions pr ON pr.idx = (pl.doc_id*3 + pl.j*23) % $nPr
+      JOIN laws l ON l.idx = (pl.doc_id*5 + pl.j*19) % $nL
+    ),
+    t AS (
+      SELECT doc_id, ps AS subj, 'represents' AS pred, os AS obj FROM sent
+      UNION ALL SELECT doc_id, os, 'of', gs FROM sent
+      UNION ALL SELECT doc_id, gs, 'cites', prs FROM sent
+      UNION ALL SELECT doc_id, prs, 'of', ls FROM sent
+    )
+    SELECT t.subj, t.pred, t.obj, dd.url, COUNT(*) AS n
+    FROM t JOIN docs dd ON dd.doc_id = t.doc_id
+    GROUP BY t.subj, t.pred, t.obj, dd.url"""
+  }
+
+  /** Entity linking: mention × broadcast alias dict with prior + context
+    * cosine (J8/M6). Dict VALUES generated from Linking.aliasRows — single
+    * source of truth.
+    */
+  val qLinking: String = {
+    val dict = graft.linking.Linking.aliasRows
+      .map { case (s, l, id, p) => s"('${s.replace("'", "''")}', '$l', $id, $p)" }
+      .mkString(", ")
+    s"""WITH $baseCtes,
+    dict(surface, label, entity_id, prior_milli) AS (VALUES $dict),
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    m AS (SELECT DISTINCT dd.url, pm.surface, pm.label, pm.doc_id
+          FROM pm JOIN docs dd ON dd.doc_id = pm.doc_id),
+    j AS (SELECT m.url, m.surface, m.label, d.entity_id, d.prior_milli,
+            m.doc_id % (SELECT COUNT(*) FROM embeddings) AS mvec_id,
+            d.entity_id % (SELECT COUNT(*) FROM embeddings) AS evec_id
+          FROM m JOIN dict d ON d.surface = m.surface AND d.label = m.label)
+    SELECT j.url, j.surface, j.label, j.entity_id, j.prior_milli,
+      CAST(round(j.prior_milli * 0.5 + 500.0 *
+        list_inner_product(a.v, b.v) /
+        sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v))) AS BIGINT) AS score_milli
+    FROM j JOIN emb a ON a.vec_id = j.mvec_id JOIN emb b ON b.vec_id = j.evec_id"""
+  }
+
+  /** NL-date round trip (P11): engine renders each event date in a cycled
+    * NL style and parses it back; oracle is the plain calendar date.
+    */
+  val qDates: String =
+    """SELECT event_id, CAST(ts AS DATE) AS parsed_date FROM events"""
 
   /** Provenance triples with canonical subjects. */
   val qEntityProv: String =
