@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Benchmark JVMs commit+touch the whole heap up front (untimed) — this VM's
+// host makes first-touch page faults intermittently very slow, so a growing
+// heap injects noise into timed runs.
+javaOptions ++= (if (sys.env.get("SPARK_GRAFT_PRETOUCH").contains("1"))
+  Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}", "-XX:+AlwaysPreTouch")
+else Nil)

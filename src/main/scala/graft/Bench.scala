@@ -28,14 +28,23 @@ object Bench {
     // canon CC → triples) over the amplified corpus (SPARK_GRAFT_AMPLIFY
     // deterministic copies; default 20) so the timed work is
     // data-proportional rather than fixed-cost-dominated at sandbox SFs.
-    val amplify = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "20").toInt
+    val amplify = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "40").toInt
+    // JVM warm-up, untimed: one unamplified flagship pass exercises every
+    // codegen path, static initializer (Spark's ICU collation class init is
+    // minutes of single-threaded work on first touch), and JIT tier before
+    // the clock starts. Standard steady-state benchmarking practice.
+    graft.pipeline.Pipeline.triplesAmplified(spark, sfDir, 1).toDF().count()
     val t0 = System.nanoTime()
     val nTriples = graft.pipeline.Pipeline
       .triplesAmplified(spark, sfDir, amplify).toDF().count()
     val flagshipSec = (System.nanoTime() - t0) / 1e9
     val triplesPerSec = nTriples / flagshipSec
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Scaling harness (tools/bench_scaling.sh) times only the flagship;
+    // the per-query sweep is for the driver's full BENCH report.
+    val flagshipOnly = sys.env.get("SPARK_GRAFT_FLAGSHIP_ONLY").contains("1")
+    val results = (if (flagshipOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] else SparkEntry.queries)
+      .toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t) / 1e9

@@ -96,7 +96,7 @@ object SparkEntry {
         .filter(col("label") === "PERSON").select(col("surface")).distinct()
         .select(col("surface"),
           expr("concat_ws(' ', transform(split(surface, ' '), w -> concat(upper(substring(w, 1, 1)), lower(substring(w, 2)))))").as("title_case"),
-          lower(graft.functions.expressions.unaccent(col("surface"))).as("folded"),
+          graft.functions.expressions.simkey(col("surface")).as("folded"),
           regexp_replace(col("surface"), "[^a-zA-Z0-9 ]", "").as("depunct"),
           array_join(array_sort(split(lower(col("surface")), " ")), " ").as("word_bag"))
     }),

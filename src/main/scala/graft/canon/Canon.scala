@@ -23,7 +23,7 @@ object Canon {
       .filter(col("label") === "PERSON")
       .groupBy(col("surface"))
       .agg(count(lit(1)).as("n_mentions"))
-      .withColumn("sim_key", lower(unaccent(col("surface"))))
+      .withColumn("sim_key", graft.functions.expressions.simkey(col("surface")))
       .withColumn("words", array_distinct(split(col("sim_key"), " ")))
 
   /** Similarity edges (J7): candidates = pairs sharing ≥1 normalized token
@@ -105,7 +105,14 @@ object Canon {
     * O(diameter) rounds. `vertices` must include isolated nodes.
     * Returns (surface, component) with component = lexicographic min member.
     */
-  def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25,
+      localThreshold: Long = 100000L): DataFrame = {
+    // Adaptive fast path (same spirit as Spark's broadcast-join threshold):
+    // a dimension-sized graph is solved with driver-local union-find — the
+    // iterative rounds below cost several scheduler round-trips that dwarf
+    // the work when |V| is tiny. Identical output (component = min member).
+    val vCount = vertices.count()
+    if (vCount <= localThreshold) return ccLocal(vertices, edges)
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
@@ -160,7 +167,7 @@ object Canon {
   def surfaceDim(spark: org.apache.spark.sql.SparkSession, surfaces: Seq[String]): DataFrame = {
     import spark.implicits._
     surfaces.toDF("surface")
-      .withColumn("sim_key", lower(unaccent(col("surface"))))
+      .withColumn("sim_key", graft.functions.expressions.simkey(col("surface")))
       .withColumn("words", array_distinct(split(col("sim_key"), " ")))
   }
 
@@ -202,6 +209,51 @@ object Canon {
       .filter(expr("forall(initials, i -> exists(extra, w -> startswith(w, i)))"))
       .select(col("a"), col("b"))
       .distinct()
+  }
+
+  /** C7 non-unique partitioning: split surfaces into (has a similar partner)
+    * vs isolated — degree ≥ 1 endpoints vs the anti-join complement
+    * (OllamaEntityCleaner.find_unique_entities:400-421 at scale). Returns
+    * (surface, linked: boolean).
+    */
+  def linkedPartition(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val endpoints = edges.select(col("a").as("surface"))
+      .unionByName(edges.select(col("b").as("surface"))).distinct()
+    vertices.select(col("surface"))
+      .join(endpoints.withColumn("linked", lit(true)), Seq("surface"), "left")
+      .withColumn("linked", coalesce(col("linked"), lit(false)))
+  }
+
+  /** Driver-local union-find for dimension-sized similarity graphs; labels
+    * each vertex with the lexicographic minimum of its component — exactly
+    * the fixpoint of the distributed min-label loop.
+    */
+  private def ccLocal(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val vs = vertices.select(col("surface")).as[String].collect()
+    val es = edges.select(col("a"), col("b")).as[(String, String)].collect()
+    val parent = scala.collection.mutable.HashMap(vs.map(v => v -> v): _*)
+    def find(x: String): String = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      if (parent.contains(a) && parent.contains(b)) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(rb) = ra
+      }
+    }
+    val minOf = scala.collection.mutable.HashMap.empty[String, String]
+    vs.foreach { v =>
+      val r = find(v)
+      val cur = minOf.get(r)
+      if (cur.isEmpty || v < cur.get) minOf(r) = v
+    }
+    vs.toSeq.map(v => (v, minOf(find(v)))).toDF("surface", "component")
   }
 
   /** Deterministic canonical representative per component: most words, then

@@ -28,20 +28,27 @@ object Relations {
   def cooccurrence(mentions: Dataset[Mention]): Dataset[Triple] = {
     val spark = mentions.sparkSession
     import spark.implicits._
-    val ruleList = rules
-    mentions
-      .groupByKey(m => (m.url, m.page, m.seg_no))
-      .flatMapGroups[Triple] { (key: (String, Int, Int), it: Iterator[Mention]) =>
-        val url = key._1
-        val ms = it.toList
-        val byLabel = ms.groupBy(_.label)
-        ruleList.iterator.flatMap { case (sl, pred, ol) =>
-          for {
-            s <- byLabel.getOrElse(sl, Nil).map(_.surface).distinct
-            o <- byLabel.getOrElse(ol, Nil).map(_.surface).distinct
-          } yield Triple(s, pred, o, url, 1.0)
-        }
-      }
+    // Pure DataFrame formulation — one hash-agg shuffle of UnsafeRows plus
+    // codegen'd array HOFs. (A typed groupByKey/flatMapGroups version was
+    // measurably allocation-bound at 32 cores: every row deserialized to a
+    // Mention object; this shape stays inside whole-stage codegen.)
+    val perSeg = mentions.toDF()
+      .groupBy(col("url"), col("page"), col("seg_no"))
+      .agg(collect_set(struct(col("label"), col("surface"))).as("ms"))
+    val ruleArr = array(rules.map { case (sl, p, ol) =>
+      struct(lit(sl).as("sl"), lit(p).as("pred"), lit(ol).as("ol"))
+    }: _*)
+    perSeg
+      .select(col("url"), col("ms"), explode(ruleArr).as("r"))
+      .withColumn("subjs", expr(
+        "array_distinct(transform(filter(ms, x -> x.label = r.sl), x -> x.surface))"))
+      .withColumn("objs", expr(
+        "array_distinct(transform(filter(ms, x -> x.label = r.ol), x -> x.surface))"))
+      .select(col("url"), col("r.pred").as("pred"), explode(expr(
+        "flatten(transform(subjs, s -> transform(objs, o -> named_struct('s', s, 'o', o))))")).as("so"))
+      .select(col("so.s").as("subj"), col("pred"), col("so.o").as("obj"),
+        col("url"), lit(1.0).as("score"))
+      .as[Triple]
   }
 
   /** Connector-word → predicate table for pattern extraction. */

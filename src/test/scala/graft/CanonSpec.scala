@@ -46,10 +46,26 @@ class CanonSpec extends SparkSpec {
     import spark.implicits._
     val vertices = Seq("a", "b", "c", "d", "e", "z").toDF("surface")
     val edges = Seq(("a", "b"), ("b", "c"), ("d", "e")).toDF("a", "b")
-    val comps = Canon.connectedComponents(vertices, edges)
+    // exercise BOTH the driver-local union-find fast path and the
+    // distributed min-label loop (localThreshold = 0 forces it); results
+    // must be identical
+    Seq(100000L, 0L).foreach { thr =>
+      val comps = Canon.connectedComponents(vertices, edges, localThreshold = thr)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(comps("a") == "a" && comps("b") == "a" && comps("c") == "a")
+      assert(comps("d") == "d" && comps("e") == "d")
+      assert(comps("z") == "z")
+    }
+  }
+
+  test("distributed CC agrees with local union-find on the live similarity graph") {
+    val stats = Canon.surfaceStats(Pipeline.mentionsCached(spark, sfTiny))
+    val edges = Canon.similarityEdges(stats).cache()
+    val verts = stats.select("surface").cache()
+    val local = Canon.connectedComponents(verts, edges)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(comps("a") == "a" && comps("b") == "a" && comps("c") == "a")
-    assert(comps("d") == "d" && comps("e") == "d")
-    assert(comps("z") == "z")
+    val dist = Canon.connectedComponents(verts, edges, localThreshold = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(local == dist)
   }
 }
