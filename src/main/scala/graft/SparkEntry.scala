@@ -132,17 +132,21 @@ object SparkEntry {
       graft.linking.Linking.link(Pipeline.mentionsCached(s, dir).toDF(), s, dir)
     }),
 
-    // --- NL date parsing round-trip (P11) ---------------------------------
+    // --- NL date parsing round-trip (P11) — all-codegen column grammar ----
     "q_dates" -> ((s, dir) => {
-      import s.implicits._
+      import graft.functions.Dates
       s.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id"), year(col("ts")).as("y"),
-          month(col("ts")).as("m"), dayofmonth(col("ts")).as("d"))
-        .as[(Long, Int, Int, Int)]
-        .map { case (id, y, m, d) =>
-          val rendered = graft.functions.Dates.render(y, m, d, (id % 4).toInt)
-          (id, graft.functions.Dates.parse(rendered).get.toString)
-        }.toDF("event_id", "parsed_date")
+        .select(col("event_id"),
+          Dates.parseCol(Dates.renderCol(
+            year(col("ts")), month(col("ts")), dayofmonth(col("ts")),
+            pmod(col("event_id"), lit(4)).cast("int")))
+            .cast("string").as("parsed_date"))
+    }),
+
+    // --- in-text date-mention scan with char offsets (search_dates form) --
+    "q_date_mentions" -> ((s, dir) => {
+      import graft.functions.Dates
+      Dates.dateMentions(Dates.dateCorpus(s, dir))
     }),
 
     // --- materialize + lineage (checkpoint-resume surface) ----------------
@@ -163,6 +167,9 @@ object SparkEntry {
 
     // --- similarity search ----------------------------------------------
     "q_ann_topk" -> ((s, dir) => Ann.bruteTopK(Ann.embeddings(s, dir))),
+    // scale path driver-verified against the brute all-pairs DuckDB oracle:
+    // banding must achieve total recall on this corpus for the hash to match
+    "q_ann_lsh" -> ((s, dir) => Ann.lshPairs(Dedup.embCorpus(s, dir), minCos = 0.99)),
 
     // --- text analysis ---------------------------------------------------
     "q_langid" -> ((s, dir) => TextStats.langId(TextStats.documents(s, dir))),
@@ -201,6 +208,7 @@ object SparkEntry {
     "q_linking" -> Oracle.qLinking,
     "q_pattern_triples" -> Oracle.qPatternTriples,
     "q_dates" -> Oracle.qDates,
+    "q_date_mentions" -> Oracle.qDateMentions,
     "q_domain_stats" -> Oracle.qDomainStats,
     "q_lineage" -> Oracle.qLineage,
     "q_dedup_exact" -> OracleOps.qDedupExact,
@@ -209,6 +217,7 @@ object SparkEntry {
     "q_dedup_simhash" -> OracleOps.qDedupSimhash,
     "q_dedup_embed" -> OracleOps.qDedupEmbed,
     "q_ann_topk" -> OracleOps.qAnnTopk,
+    "q_ann_lsh" -> OracleOps.qDedupEmbed,
     "q_langid" -> OracleOps.qLangid,
     "q_quality" -> OracleOps.qQuality,
     "q_token_count" -> OracleOps.qTokenCount,

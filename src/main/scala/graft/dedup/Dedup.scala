@@ -155,16 +155,25 @@ object Dedup {
       sqrt(expr(s"aggregate($a, 0d, (s, x) -> s + x * x)") *
         expr(s"aggregate($b, 0d, (s, x) -> s + x * x)"))
 
-  /** Embedding-cosine near-dup pairs (cos ≥ 0.99). Brute all-pairs — the
-    * correctness baseline; [[graft.similarity.Ann]] holds the LSH-bucketed
-    * scale path.
+  /** Embedding-cosine near-dup pairs (cos ≥ 0.99) — brute all-pairs. Kept
+    * as the recall oracle for the LSH path (AnnSpec asserts LSH ⊆ brute and
+    * brute's planted pairs ⊆ LSH); the wired query runs [[embeddingNearDup]]
+    * which takes the banded-LSH scale path.
     */
-  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = embCorpus(spark, sfDir)
-    val l = e.select(col("vec_id").as("a"), col("v").as("va"))
-    val r = e.select(col("vec_id").as("b"), col("v").as("vb"))
+  def embeddingNearDupBrute(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.similarity.Ann.withUnit(embCorpus(spark, sfDir))
+    val l = e.select(col("vec_id").as("a"), col("nv").as("na"))
+    val r = e.select(col("vec_id").as("b"), col("nv").as("nb"))
     l.join(r, col("a") < col("b"))
-      .filter(cosineExpr("va", "vb") >= 0.99)
+      .filter(graft.similarity.Ann.unitDot("na", "nb") >= 0.99)
       .select(col("a"), col("b"))
   }
+
+  /** Embedding-cosine near-dup pairs (cos ≥ 0.99), SRP-LSH banded
+    * candidates + exact unit-dot verification — the 100-TB path (all-pairs
+    * was 72 % of the round-1 bench). Driver-verified against the brute
+    * DuckDB oracle, so recall on this corpus is gate-checked every round.
+    */
+  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.similarity.Ann.lshPairs(embCorpus(spark, sfDir), minCos = 0.99)
 }

@@ -1,9 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Accent folding as a native Catalyst expression (SURVEY §2.9: "unaccent →
@@ -46,6 +48,76 @@ case class SimKey(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Static eval target for [[RegexFindAll]] — shared by interpreted and
+  * codegen paths (the compiled Pattern rides in as a codegen reference
+  * object, so the regex compiles once per plan, not per row).
+  */
+object RegexOps {
+  def findAll(s: String, p: java.util.regex.Pattern): ArrayData = {
+    val m = p.matcher(s)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    while (m.find()) {
+      buf += InternalRow(UTF8String.fromString(m.group()), m.start(), m.end())
+    }
+    new GenericArrayData(buf.toArray[Any])
+  }
+}
+
+/** NL date parse (the grammar in [[Dates.parse]]) as a native Catalyst
+  * expression returning DateType, null when the grammar rejects or fields
+  * are out of range (parse-success filter F4). A column-expression tree of
+  * the same grammar (4 rlike + 12 regexp_extract over a shared normalized
+  * input) generates >64 KB per codegen method and falls Janino back to
+  * interpreted mode — one static call with statically-compiled patterns is
+  * both smaller and faster.
+  */
+case class DateParse(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DateType
+  // null is a REJECT verdict, produced even for non-null input — without
+  // this, Catalyst folds IsNotNull(dateParse(x)) to true and codegen gets a
+  // constant isNull slot.
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    Dates.parseToDaysBoxed(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Integer ${ev.value}_r = graft.functions.Dates.parseToDaysBoxed($c.toString());
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.intValue(); }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): DateParse =
+    copy(child = newChild)
+}
+
+/** All regex matches with character offsets, as a native Catalyst
+  * expression: `regex_find_all(text) → array<struct<surface,start,end>>`.
+  * Spark has regexp_extract_all (no positions); the reference needs
+  * positioned occurrences (`find_all_occurrences`,
+  * /root/reference/src/methods/DateParser.py:19-31), so this emits
+  * (match, start, end-exclusive) in Java char offsets. Codegen is a direct
+  * static call — the surrounding stage stays in whole-stage codegen.
+  */
+case class RegexFindAll(child: Expression, pattern: String) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("surface", StringType, nullable = false),
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false))), containsNull = false)
+
+  @transient private lazy val compiled = java.util.regex.Pattern.compile(pattern)
+
+  override def nullSafeEval(v: Any): Any =
+    RegexOps.findAll(v.asInstanceOf[UTF8String].toString, compiled)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patRef = ctx.addReferenceObj("pattern", compiled, "java.util.regex.Pattern")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.RegexOps.findAll($c.toString(), $patRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RegexFindAll =
+    copy(child = newChild)
+}
+
 object expressions {
   import org.apache.spark.sql.graft.Bridge
   /** unaccent(col) — column-level accent folding. */
@@ -54,4 +126,10 @@ object expressions {
   /** simkey(col) — lower(unaccent(col)) without the ICU lower() path. */
   def simkey(c: Column): Column =
     Bridge.column(SimKey(Bridge.expression(c)))
+  /** regexFindAll(col, pattern) — every match with char offsets. */
+  def regexFindAll(c: Column, pattern: String): Column =
+    Bridge.column(RegexFindAll(Bridge.expression(c), pattern))
+  /** dateParse(col) — NL date grammar → DateType (null = reject). */
+  def dateParse(c: Column): Column =
+    Bridge.column(DateParse(Bridge.expression(c)))
 }

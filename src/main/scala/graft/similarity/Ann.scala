@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup.cosineExpr
 
@@ -8,15 +8,103 @@ import graft.dedup.Dedup.cosineExpr
   *
   * Brute-force cosine top-k is the correctness baseline (broadcast the query
   * set — small — against the full corpus: one narrow pass + a per-query
-  * top-k). The scale path is sign-random-projection LSH bucketing: only
-  * vectors sharing a bucket are compared, so the join is equi on bucket key
-  * instead of all-pairs.
+  * top-k). The scale path is sign-random-projection (SRP) LSH: B independent
+  * bands of P deterministic hyperplanes each; only vectors sharing a bucket
+  * in at least one band are compared, so the candidate join is equi on
+  * (band, key) instead of all-pairs. Cosine ≥ 0.99 ⇒ angle ≤ 8.1°, so a
+  * near-dup pair splits on one random plane with prob θ/π ≈ 0.045; with
+  * P=8 planes a band keeps the pair with prob ≈ 0.69, and the miss
+  * probability across B=4 independent bands is (1−0.69)⁴ ≈ 0.9 % worst-case
+  * (planted near-identical pairs are orders of magnitude safer). Verification
+  * keeps precision exact, so LSH output ⊆ brute output always.
+  *
+  * Hyperplane components are ±1 derived from md5 parity computed once on the
+  * driver and baked into the plan as array literals — the per-row work is a
+  * codegen'd zip_with/aggregate dot product, no per-element hashing.
   */
 object Ann {
+
+  /** Driver testdata embedding dimensionality (embeddings.parquet). */
+  val Dim = 64
 
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+
+  /** Deterministic ±1 hyperplane: component i of plane (band, p) is +1 iff
+    * the last hex digit of md5("band:p:i") is even. Driver-side; the result
+    * is embedded in the plan as a literal.
+    */
+  private[similarity] def planeSigns(band: Int, p: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { i =>
+      val h = md.digest(s"$band:$p:$i".getBytes("UTF-8"))
+      if ((h(15) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Codegen'd dot product of an array column against a literal ±1 plane. */
+  private def planeDot(vecCol: String, signs: Array[Double]): Column = {
+    val planeLit = signs.map(s => if (s > 0) "1d" else "-1d").mkString("array(", ",", ")")
+    expr(s"aggregate(zip_with($vecCol, $planeLit, (x, p) -> x * p), 0d, (s, x) -> s + x)")
+  }
+
+  /** SRP bucket key for one band: P sign bits concatenated. */
+  private[similarity] def bucketKey(vecCol: String, band: Int, nPlanes: Int, dim: Int): Column =
+    concat((0 until nPlanes).map { p =>
+      when(planeDot(vecCol, planeSigns(band, p, dim)) > 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** Single-band SRP bucketing (kept as the simple API; band 0). */
+  def srpBuckets(emb: DataFrame, nPlanes: Int = 8, dim: Int = Dim): DataFrame =
+    emb.withColumn("bucket", bucketKey("v", 0, nPlanes, dim))
+
+  /** Per-vector L2 norm + precomputed unit vector — computed once, before
+    * any pair join, so pair verification is a single dot product (the
+    * brute/cartesian path used to re-aggregate both norms per pair).
+    */
+  def withUnit(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("nrm", sqrt(expr("aggregate(v, 0d, (s, x) -> s + x * x)")))
+      .withColumn("nv", expr("transform(v, x -> x / nrm)"))
+
+  /** Dot product of two precomputed unit-vector columns (= cosine). */
+  def unitDot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0d, (s, x) -> s + x)")
+
+  /** Candidate pairs from B bands of P planes: one scan computes every
+    * band key, an explode emits B (band, key) rows per vector, and a banded
+    * equi self-join yields distinct id pairs. Same plan shape as MinHash-LSH
+    * banding — bounded by bucket sizes, never all-pairs.
+    */
+  def bandedCandidates(emb: DataFrame, bands: Int = 4, nPlanes: Int = 8,
+                       dim: Int = Dim): DataFrame = {
+    val keys = emb.select(col("vec_id"), explode(array(
+      (0 until bands).map(b =>
+        struct(lit(b).as("band"), bucketKey("v", b, nPlanes, dim).as("key"))): _*
+    )).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    keys.as("x").join(keys.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+  }
+
+  /** LSH near-neighbor pairs: banded candidates verified with an exact
+    * cosine on precomputed unit vectors. At 100 TB this replaces the
+    * all-pairs product with per-bucket products (buckets are balanced by
+    * construction: random hyperplanes split the sphere evenly).
+    */
+  def lshPairs(emb: DataFrame, minCos: Double = 0.99, bands: Int = 4,
+               nPlanes: Int = 8, dim: Int = Dim): DataFrame = {
+    val u = withUnit(emb).select(col("vec_id"), col("nv"))
+    bandedCandidates(emb, bands, nPlanes, dim)
+      .join(u.select(col("vec_id").as("a"), col("nv").as("na")), "a")
+      .join(u.select(col("vec_id").as("b"), col("nv").as("nb")), "b")
+      .filter(unitDot("na", "nb") >= minCos)
+      .select(col("a"), col("b"))
+  }
 
   /** Exact top-k neighbors by cosine for each query vector (vec_id < nQueries).
     * The query side is broadcast — the big side streams once, no shuffle of
@@ -35,36 +123,5 @@ object Ann {
           .orderBy(col("cos").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
-  }
-
-  /** Sign-random-projection bucket key: for `nPlanes` deterministic
-    * hyperplanes, bit = sign(Σ v[i]·p[i]) with p[i] = ±1 derived from
-    * md5(plane:i) parity — fully reproducible in SQL, no RNG. Vectors in the
-    * same bucket are near in angle with high probability.
-    */
-  def srpBuckets(emb: DataFrame, nPlanes: Int = 8): DataFrame = {
-    val bitExprs = (0 until nPlanes).map { p =>
-      // p_i = +1 if last hex digit of md5("p:i") is even else -1
-      val dot = expr(
-        s"""aggregate(zip_with(v, sequence(0, size(v) - 1),
-           |  (x, i) -> x * (1d - 2d * (cast(conv(substring(md5(concat('$p', ':', i)), 32, 1), 16, 10) as int) & 1))),
-           |  0d, (s, x) -> s + x)""".stripMargin)
-      when(dot > 0, lit("1")).otherwise(lit("0"))
-    }
-    emb.withColumn("bucket", concat(bitExprs: _*))
-  }
-
-  /** LSH-bucketed near-neighbor pairs: equi-join on bucket, verify cosine ≥
-    * minCos. At 100 TB this replaces the all-pairs product with per-bucket
-    * products (buckets are balanced by construction: random hyperplanes).
-    */
-  def lshPairs(emb: DataFrame, minCos: Double = 0.99, nPlanes: Int = 8): DataFrame = {
-    val b = srpBuckets(emb, nPlanes)
-    val l = b.select(col("vec_id").as("a"), col("v").as("va"), col("bucket"))
-    val r = b.select(col("vec_id").as("b"), col("v").as("vb"), col("bucket"))
-    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
-      .filter(cosineExpr("va", "vb") >= minCos)
-      .select(col("a"), col("b"))
-      .distinct()
   }
 }

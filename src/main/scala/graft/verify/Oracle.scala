@@ -85,7 +85,7 @@ object Oracle {
       GROUP BY pl.doc_id, pl.j, slen
     )
     SELECT dd.url, d.lang,
-           length(regexp_replace(trim(d.text), '\\s+', ' ', 'g')) + s.total + s.nsent AS text_len
+           CAST(length(regexp_replace(trim(d.text), '\\s+', ' ', 'g')) + s.total + s.nsent AS BIGINT) AS text_len
     FROM documents d
     JOIN docs dd ON dd.doc_id = d.doc_id
     JOIN (SELECT doc_id, SUM(slen) AS total, COUNT(*) AS nsent FROM sent GROUP BY doc_id) s
@@ -116,7 +116,7 @@ object Oracle {
       JOIN (SELECT doc_id, SUM(slen) AS total, COUNT(*) AS nsent FROM sent GROUP BY doc_id) s
         ON s.doc_id = d.doc_id
     )
-    SELECT domain, COUNT(*) AS n_pages, SUM(text_len) AS total_text_len
+    SELECT domain, COUNT(*) AS n_pages, CAST(SUM(text_len) AS BIGINT) AS total_text_len
     FROM tl GROUP BY domain"""
 
   /** Expected resolved mentions per (url, surface, label) with counts. */
@@ -330,7 +330,7 @@ object Oracle {
     np AS (SELECT doc_id, COUNT(*) AS n FROM prov GROUP BY doc_id),
     tot AS (SELECT d.doc_id, 3 * (d.doc_id % 3 + 1) + COALESCE(np.n, 0) AS n
             FROM documents d LEFT JOIN np ON np.doc_id = d.doc_id)
-    SELECT CAST(doc_id % 16 AS INT) AS bucket, SUM(n) AS n_rows FROM tot GROUP BY 1"""
+    SELECT CAST(doc_id % 16 AS INT) AS bucket, CAST(SUM(n) AS BIGINT) AS n_rows FROM tot GROUP BY 1"""
 
   /** Pattern triples: each planted sentence
     * "P representing O of G cited PR of L." yields adjacent-pair connector
@@ -393,6 +393,48 @@ object Oracle {
     */
   val qDates: String =
     """SELECT event_id, CAST(ts AS DATE) AS parsed_date FROM events"""
+
+  /** In-text date mentions: re-derives the planted date surfaces + char
+    * offsets of graft.functions.Dates.dateCorpus (positions are pure
+    * arithmetic: the base corpus has no digits, so the only grammar matches
+    * are the plants; the every-9th-doc invalid "30 February" plant is
+    * correctly ABSENT — F4 drops it).
+    */
+  val qDateMentions: String = {
+    val monthValues = graft.functions.Dates.monthsEn.zip(graft.functions.Dates.monthsEs)
+      .zipWithIndex.map { case ((en, es), i) => s"(${i + 1}, '$en', '$es')" }.mkString(", ")
+    def renderSql(p: String): String =
+      s"""CASE $p.st WHEN 0 THEN printf('%04d-%02d-%02d', $p.y, $p.mo, $p.dy)
+           WHEN 1 THEN $p.dy || ' ' || me.en || ' ' || $p.y
+           WHEN 2 THEN me.en || ' ' || $p.dy || ', ' || $p.y
+           ELSE $p.dy || ' de ' || me.es || ' de ' || $p.y END"""
+    s"""WITH norm AS (SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS text FROM documents),
+    months(mo, en, es) AS (VALUES $monthValues),
+    p1 AS (SELECT doc_id, length(text) AS base_len,
+             2000 + doc_id % 26 AS y, 1 + doc_id % 12 AS mo, 1 + doc_id % 28 AS dy, doc_id % 4 AS st
+           FROM norm),
+    p2 AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 2000 + doc_id % 26 ELSE 2000 + (doc_id + 7) % 26 END AS y,
+             CASE WHEN doc_id % 5 = 0 THEN 1 + doc_id % 12 ELSE 1 + (doc_id + 5) % 12 END AS mo,
+             CASE WHEN doc_id % 5 = 0 THEN 1 + doc_id % 28 ELSE 1 + (doc_id + 11) % 28 END AS dy,
+             CASE WHEN doc_id % 5 = 0 THEN doc_id % 4 ELSE (doc_id + 1) % 4 END AS st
+           FROM norm),
+    r1 AS (SELECT p.doc_id, p.base_len, ${renderSql("p")} AS surface,
+             printf('%04d-%02d-%02d', p.y, p.mo, p.dy) AS parsed_date
+           FROM p1 p JOIN months me ON me.mo = p.mo),
+    r2 AS (SELECT p.doc_id, ${renderSql("p")} AS surface,
+             printf('%04d-%02d-%02d', p.y, p.mo, p.dy) AS parsed_date
+           FROM p2 p JOIN months me ON me.mo = p.mo)
+    SELECT r1.doc_id, r1.surface, CAST(r1.base_len + 11 AS BIGINT) AS pos,
+           CAST(r1.base_len + 11 + length(r1.surface) AS BIGINT) AS pos_end, r1.parsed_date
+    FROM r1
+    UNION ALL
+    SELECT r2.doc_id, r2.surface,
+           CAST(r1.base_len + 23 + length(r1.surface) AS BIGINT) AS pos,
+           CAST(r1.base_len + 23 + length(r1.surface) + length(r2.surface) AS BIGINT) AS pos_end,
+           r2.parsed_date
+    FROM r2 JOIN r1 ON r1.doc_id = r2.doc_id"""
+  }
 
   /** Provenance triples with canonical subjects. */
   val qEntityProv: String =

@@ -135,8 +135,8 @@ object OracleOps {
   val qTokenCount: String =
     """WITH norm AS (SELECT doc_id, source, regexp_replace(trim(text), '\s+', ' ', 'g') AS text FROM documents)
     SELECT source, COUNT(*) AS n_docs,
-      SUM(len(string_split(text, ' '))) AS ws_tokens,
-      SUM(len(regexp_extract_all(text, '\w+'))) AS re_tokens
+      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      CAST(SUM(len(regexp_extract_all(text, '\w+'))) AS BIGINT) AS re_tokens
     FROM norm GROUP BY source"""
 
   val qFingerprint: String =
@@ -162,6 +162,6 @@ object OracleOps {
              lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
            FROM events)
     SELECT user_id, COUNT(*) AS n_events,
-      SUM(CASE WHEN prev IS NULL OR t - prev > ${graft.streaming.Streaming.SessionGapMs} THEN 1 ELSE 0 END) AS n_sessions
+      CAST(SUM(CASE WHEN prev IS NULL OR t - prev > ${graft.streaming.Streaming.SessionGapMs} THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
     FROM x GROUP BY user_id"""
 }

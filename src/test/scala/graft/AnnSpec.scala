@@ -17,19 +17,20 @@ class AnnSpec extends SparkSpec {
     }
   }
 
-  test("SRP-LSH pairs find the planted near-identical vectors") {
-    // planted +0.01 variants are angularly ~identical → same bucket always
+  test("SRP-LSH pairs equal brute-force pairs on the planted corpus") {
+    // planted +0.01 variants are angularly ~identical → survive banding
     val emb = Dedup.embCorpus(spark, sfTiny)
     val pairs = Ann.lshPairs(emb).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val planted = spark.read.parquet(s"$sfTiny/embeddings.parquet")
       .filter(col("vec_id") % 10 === 0).select("vec_id").collect()
       .map(_.getLong(0)).map(id => (id, id + 1000000L)).toSet
-    assert(planted.subsetOf(pairs) || (planted -- pairs).size <= planted.size / 10,
+    assert(planted.subsetOf(pairs),
       s"LSH missed ${(planted -- pairs).size}/${planted.size} planted pairs")
-    // verification keeps precision exact: every emitted pair really has cos >= 0.99
-    val brute = Dedup.embeddingNearDup(spark, sfTiny).collect()
+    // verification keeps precision exact AND banding keeps recall total here:
+    // the wired q_dedup_embed (LSH) is hash-compared to a brute DuckDB oracle
+    val brute = Dedup.embeddingNearDupBrute(spark, sfTiny).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.subsetOf(brute))
+    assert(pairs == brute, s"LSH≠brute: missed=${(brute -- pairs).size} extra=${(pairs -- brute).size}")
   }
 
   test("bucket strings are deterministic across runs") {
