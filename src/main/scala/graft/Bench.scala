@@ -51,8 +51,15 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"triples_per_sec","value":$triplesPerSec,"unit":"triples/sec","flagship_sec":$flagshipSec,"n_triples":$nTriples,"amplify":$amplify,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"triples_per_sec","value":$triplesPerSec,"unit":"triples/sec","flagship_sec":$flagshipSec,"n_triples":$nTriples,"amplify":$amplify,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // also to a file: sbt prefixes stdout with [info], which broke the
+    // driver's JSON parse in round 1 ("parsed": null)
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/last_run.json"), json + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -55,6 +55,14 @@ object SparkEntry {
     "q_canon" -> ((s, dir) => {
       Pipeline.canonCached(s, dir)
     }),
+    // A1 provenance payload under oracle: the occurrences array<struct>
+    // exploded back to positioned rows (not just its counts)
+    "q_entity_occ" -> ((s, dir) => {
+      graft.aggregate.Entities.rollup(Pipeline.mentionsCached(s, dir))
+        .select(col("surface"), col("label"), explode(col("occurrences")).as("o"))
+        .select(col("surface"), col("label"), col("o.url").as("url"),
+          col("o.start").cast("long").as("pos"), col("o.end").cast("long").as("pos_end"))
+    }),
     "q_triples" -> ((s, dir) => {
       Relations.cooccurrence(Pipeline.mentionsCached(s, dir)).toDF()
         .groupBy(col("subj"), col("pred"), col("obj"), col("url"))
@@ -73,6 +81,20 @@ object SparkEntry {
     }),
 
     // --- canonicalization heuristics + evaluation -------------------------
+    // distributed min-label CC path (hub split + vertex-subset edge filter),
+    // forced past the driver-local fast path — C1 at its scale shape
+    "q_cc_dist" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+      val v = docs.select(format_string("v%07d", col("doc_id")).as("surface"))
+      val e = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(format_string("v%07d", col("doc_id")).as("a"),
+          format_string("v%07d", col("doc_id") - 1).as("b"))
+        .unionByName(docs.filter(col("doc_id") % 35 === 0 && col("doc_id") > 0)
+          .select(format_string("v%07d", col("doc_id")).as("a"),
+            format_string("v%07d", col("doc_id") - 5).as("b")))
+      Canon.connectedComponents(v, e, localThreshold = 0L)
+        .groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+    }),
     "q_canon_subset" -> ((s, dir) => {
       Canon.subsetEdges(Canon.surfaceStats(Pipeline.mentionsCached(s, dir)))
     }),
@@ -95,7 +117,10 @@ object SparkEntry {
       Pipeline.mentionsCached(s, dir).toDF()
         .filter(col("label") === "PERSON").select(col("surface")).distinct()
         .select(col("surface"),
-          expr("concat_ws(' ', transform(split(surface, ' '), w -> concat(upper(substring(w, 1, 1)), lower(substring(w, 2)))))").as("title_case"),
+          // Python str.title() byte parity (P2); == the oracle's per-space-
+          // word expression on this corpus (no apostrophes/hyphens/digits in
+          // person surfaces — the divergent edges are spec-tested, TextSpec)
+          graft.functions.expressions.pyTitle(col("surface")).as("title_case"),
           graft.functions.expressions.simkey(col("surface")).as("folded"),
           regexp_replace(col("surface"), "[^a-zA-Z0-9 ]", "").as("depunct"),
           array_join(array_sort(split(lower(col("surface")), " ")), " ").as("word_bag"))
@@ -131,6 +156,9 @@ object SparkEntry {
     "q_linking" -> ((s, dir) => {
       graft.linking.Linking.link(Pipeline.mentionsCached(s, dir).toDF(), s, dir)
     }),
+    "q_linking_best" -> ((s, dir) => {
+      graft.linking.Linking.linkBest(Pipeline.mentionsCached(s, dir).toDF(), s, dir)
+    }),
 
     // --- NL date parsing round-trip (P11) — all-codegen column grammar ----
     "q_dates" -> ((s, dir) => {
@@ -149,11 +177,34 @@ object SparkEntry {
       Dates.dateMentions(Dates.dateCorpus(s, dir))
     }),
 
+    // --- fuzzy token-recall pass (J6) over planted case/punct variants ----
+    "q_fuzzy" -> ((s, dir) => {
+      import graft.model.Gazetteer
+      graft.fuzzy.Fuzzy.scan(graft.fuzzy.Fuzzy.fuzzySegments(s, dir),
+          Gazetteer.persons.map(_ -> "PERSON").toArray).toDF()
+        .select(col("url").cast("long").as("doc_id"), col("surface"),
+          col("start").cast("long").as("pos"),
+          col("end").cast("long").as("pos_end"),
+          round(col("score") * 1000).cast("long").as("score_milli"))
+    }),
+
     // --- materialize + lineage (checkpoint-resume surface) ----------------
     "q_lineage" -> ((s, dir) => {
       import graft.materialize.Materialize
-      val out = java.nio.file.Files.createTempDirectory("graft-q-lineage").toString
+      // deterministic per-sfDir dir, wiped at entry (no leak across runs)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-q-lineage-" +
+        Integer.toHexString(dir.hashCode)
+      val p = java.nio.file.Paths.get(out)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
       Materialize.writeTriples(Pipeline.triples(s, dir), out, nBuckets = 16)
+      // resume semantics in the wired path: a second invocation sees every
+      // bucket in the lineage table and must write NOTHING new
+      val second = Materialize.writeTriples(Pipeline.triples(s, dir), out, nBuckets = 16, batchId = 1)
+      require(second.isEmpty, s"resume skip failed: rewrote ${second.size} buckets")
       Materialize.readLineage(s, out)
         .groupBy(col("bucket")).agg(sum(col("n_rows")).as("n_rows"))
     }),
@@ -194,9 +245,11 @@ object SparkEntry {
     "q_pages" -> Oracle.qPages,
     "q_mentions" -> Oracle.qMentions,
     "q_entity_rollup" -> Oracle.qEntityRollup,
+    "q_entity_occ" -> Oracle.qEntityOcc,
     "q_canon" -> Oracle.qCanon,
     "q_triples" -> Oracle.qTriples,
     "q_entity_prov" -> Oracle.qEntityProv,
+    "q_cc_dist" -> Oracle.qCcDist,
     "q_canon_subset" -> Oracle.qCanonSubset,
     "q_canon_minhash" -> Oracle.qCanonMinhash,
     "q_canon_abbrev" -> Oracle.qCanonAbbrev,
@@ -206,9 +259,11 @@ object SparkEntry {
     "q_topk_entities" -> Oracle.qTopkEntities,
     "q_sentences" -> Oracle.qSentences,
     "q_linking" -> Oracle.qLinking,
+    "q_linking_best" -> Oracle.qLinkingBest,
     "q_pattern_triples" -> Oracle.qPatternTriples,
     "q_dates" -> Oracle.qDates,
     "q_date_mentions" -> Oracle.qDateMentions,
+    "q_fuzzy" -> Oracle.qFuzzy,
     "q_domain_stats" -> Oracle.qDomainStats,
     "q_lineage" -> Oracle.qLineage,
     "q_dedup_exact" -> OracleOps.qDedupExact,

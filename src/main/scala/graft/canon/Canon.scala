@@ -32,13 +32,25 @@ object Canon {
     * with the reference thresholds: Levenshtein ratio > 0.79 OR word-overlap
     * ≥ 0.65 (OllamaNERExtractor.py:124) OR equal normalized keys.
     * Output: (a, b) surface pairs with a < b.
+    *
+    * Tokens whose block exceeds `maxBlock` surfaces are DROPPED as blocking
+    * keys (the standard stop-token cap: a shared first name held by millions
+    * of surfaces makes the per-token block quadratic at 100× scale; pairs
+    * similar only through a hot token are below the overlap threshold anyway
+    * once names are long). The cap is mirrored in the DuckDB oracle
+    * (Oracle.canonCtes) so engine and oracle move together at every SF;
+    * verification still scores FULL word arrays — only candidate generation
+    * is capped.
     */
-  def similarityEdges(stats: DataFrame): DataFrame = {
+  def similarityEdges(stats: DataFrame, maxBlock: Long = Config.MaxTokenBlock): DataFrame = {
     val toks = stats.select(col("surface"), col("sim_key"), col("words"))
       .withColumn("tok", explode(col("words")))
-    val l = toks.select(col("surface").as("a"), col("sim_key").as("ka"),
+    val coldToks = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxBlock).select(col("tok"))
+    val blockToks = toks.join(coldToks, Seq("tok"), "left_semi")
+    val l = blockToks.select(col("surface").as("a"), col("sim_key").as("ka"),
       col("words").as("wa"), col("tok").as("tok_a"))
-    val r = toks.select(col("surface").as("b"), col("sim_key").as("kb"),
+    val r = blockToks.select(col("surface").as("b"), col("sim_key").as("kb"),
       col("words").as("wb"), col("tok").as("tok_b"))
     val overlap = size(array_intersect(col("wa"), col("wb"))).cast("double") /
       greatest(size(col("wa")), size(col("wb"))).cast("double")
@@ -106,25 +118,51 @@ object Canon {
     * Returns (surface, component) with component = lexicographic min member.
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25,
-      localThreshold: Long = 100000L): DataFrame = {
+      localThreshold: Long = 100000L, hubDegree: Long = 1024L): DataFrame = {
     // Adaptive fast path (same spirit as Spark's broadcast-join threshold):
     // a dimension-sized graph is solved with driver-local union-find — the
     // iterative rounds below cost several scheduler round-trips that dwarf
     // the work when |V| is tiny. Identical output (component = min member).
-    val vCount = vertices.count()
-    if (vCount <= localThreshold) return ccLocal(vertices, edges)
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+    // Gated on BOTH vertex and edge count — a 100k-vertex similarity graph
+    // can carry O(V²) edges, which must never be collect()ed.
+    if (vertices.count() <= localThreshold && edges.count() <= localThreshold)
+      return ccLocal(vertices, edges)
+    // Edges referencing endpoints absent from `vertices` are ignored — the
+    // exact semantics of ccLocal's parent.contains guard, enforced here so
+    // the two paths can never diverge.
+    val vs = vertices.select(col("surface"))
+    val known = edges
+      .join(vs.withColumnRenamed("surface", "a"), Seq("a"), "left_semi")
+      .join(vs.withColumnRenamed("surface", "b"), Seq("b"), "left_semi")
+    val sym = known.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(known.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // Hub split (north_star "salted, AQE-rebalanced" CC): a mega-component
+    // hub vertex would land its entire adjacency on one reducer in the
+    // src-keyed label join. High-out-degree sources instead take a
+    // BROADCAST label join — their edges never shuffle on src; the hub
+    // label set is tiny by construction (degree > hubDegree).
+    val hubs = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") > hubDegree).select(col("src"))
+      .localCheckpoint(true)
+    val symHub = sym.join(hubs, Seq("src"), "left_semi").localCheckpoint(true)
+    val symCold = sym.join(hubs, Seq("src"), "left_anti").localCheckpoint(true)
     var labels = vertices.select(col("surface"), col("surface").as("component"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val propagated = sym
-        .join(labels, sym("src") === labels("surface"))
+      val hubLabels = labels
+        .join(hubs.withColumnRenamed("src", "surface"), Seq("surface"), "left_semi")
+      val propagated = symCold
+        .join(labels, symCold("src") === labels("surface"))
         .select(col("dst").as("surface"), col("component"))
+        .unionByName(symHub
+          .join(broadcast(hubLabels), symHub("src") === hubLabels("surface"))
+          .select(col("dst").as("surface"), col("component")))
+      // min is map-side combinable, so a hub as DST partial-aggregates
+      // before the shuffle — no reducer hot-spot on the receive side either.
       val next = labels.unionByName(propagated)
         .groupBy(col("surface"))
         .agg(min(col("component")).as("component"))

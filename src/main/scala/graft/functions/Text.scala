@@ -62,6 +62,34 @@ object Text {
     */
   def simKey(s: String): String = unaccent(s).toLowerCase(java.util.Locale.ROOT)
 
+  /** Python `str.title()` byte parity (P2 — the reference title-cases names,
+    * OllamaEntityCleaner normalization): a cased letter is titlecased when
+    * the PREVIOUS char is not cased, lowercased otherwise; non-cased chars
+    * pass through and restart a word. Differs from Spark's initcap on
+    * apostrophes/hyphens/digits: "o'neill" → "O'Neill" (initcap: "O'neill"),
+    * "3rd act" → "3Rd Act".
+    */
+  def pyTitle(s: String): String = {
+    if (s == null) return null
+    val sb = new java.lang.StringBuilder(s.length)
+    var prevCased = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val cased = Character.isUpperCase(c) || Character.isLowerCase(c) ||
+        Character.getType(c) == Character.TITLECASE_LETTER
+      if (cased) {
+        sb.append(if (prevCased) Character.toLowerCase(c) else Character.toTitleCase(c))
+        prevCased = true
+      } else {
+        sb.append(c)
+        prevCased = false
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Tokenizer with character positions — reference `\b\w+\b` finditer
     * (check_token_based_match.py:9-19). Emits (token, start, end-exclusive),
     * token lowercased like the reference.

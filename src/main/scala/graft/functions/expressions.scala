@@ -63,6 +63,23 @@ object RegexOps {
   }
 }
 
+/** Python str.title() byte parity as a codegen'd expression (P2) — same
+  * ICU-avoidance rationale as [[SimKey]] (builtin initcap routes through the
+  * collation-aware path, and its word model differs from Python's anyway:
+  * apostrophes/hyphens/digits restart words in Python).
+  */
+case class PyTitle(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(Text.pyTitle(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+      s"graft.functions.Text.pyTitle($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): PyTitle =
+    copy(child = newChild)
+}
+
 /** NL date parse (the grammar in [[Dates.parse]]) as a native Catalyst
   * expression returning DateType, null when the grammar rejects or fields
   * are out of range (parse-success filter F4). A column-expression tree of
@@ -132,4 +149,7 @@ object expressions {
   /** dateParse(col) — NL date grammar → DateType (null = reject). */
   def dateParse(c: Column): Column =
     Bridge.column(DateParse(Bridge.expression(c)))
+  /** pyTitle(col) — Python str.title() byte parity. */
+  def pyTitle(c: Column): Column =
+    Bridge.column(PyTitle(Bridge.expression(c)))
 }

@@ -2,27 +2,35 @@ package graft.fuzzy
 
 import org.apache.spark.sql.Dataset
 import graft.model.{Config, Mention, Segment}
+import graft.functions.Text
 
 /** Fuzzy sliding-window similarity matching — the Spark form of the
   * reference's windowed `SequenceMatcher` joins:
   *
-  *  - char windows: window = clamp(2.5×len(entity), 50, 500), step = window/2,
-  *    candidate substrings of len ±min(20, len/4), ratio ≥ 0.85, overlapping
-  *    accepted ranges suppressed (check_fuzzy_windows_match.py:28-119)
-  *  - token windows: entity-token-length slices over the doc token stream,
-  *    ratio ≥ 0.8, token index mapped back to char span
-  *    (check_token_based_match.py:22-58)
+  *  - char windows (J5): `fuzzy_match_with_window`
+  *    (/root/reference/check_fuzzy_windows_match.py:28-119) — window
+  *    clamp(2.5×len, 50, 500) CENTERED on each step position, candidate
+  *    lengths len±min(20, len/4) with a ≥3 floor, candidates
+  *    whitespace-normalized before scoring, per-window strict-best,
+  *    matched-range suppression, then a second 50 %-overlap dedup pass.
+  *  - token windows (J6): `find_token_sequence`
+  *    (/root/reference/check_token_based_match.py:22-58) — entity-length
+  *    windows at EVERY start position, `SequenceMatcher` ratio over the
+  *    token LISTS (element-level), every window ≥ threshold emitted.
   *
-  * Text is row-local, so the whole join is a narrow `mapPartitions` over
-  * segments with the (small) entity list broadcast — no shuffle; at corpus
-  * scale the cost is O(segments × entities × windows), bounded by the
-  * automaton pre-filter running first (only segments that had no exact hit
-  * need the fuzzy pass).
+  * Text is row-local, so the distributed scan is a narrow `mapPartitions`
+  * over segments with the (small) entity list broadcast — no shuffle. At
+  * corpus scale the cost is bounded by the shared-token prefilter (an
+  * entity can only token-match a window that shares ≥ ⌈threshold·n⌉ of its
+  * tokens — the multiset quick bound below), so segments without entity
+  * vocabulary cost one tokenize pass and nothing else.
   */
 object Fuzzy {
 
   final case class FuzzyMatch(entity: String, matched: String, start: Int,
       end: Int, score: Double)
+
+  // ---------------------------------------------------------------- ratio
 
   /** Similarity ratio 2M/(|a|+|b|) where M = total length of the recursive
     * longest-common-block decomposition — the (public, documented) difflib
@@ -33,6 +41,16 @@ object Fuzzy {
   def ratio(a: String, b: String): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0
     val m = totalMatched(a, 0, a.length, b, 0, b.length)
+    2.0 * m / (a.length + b.length)
+  }
+
+  /** difflib ratio over token sequences — element-level, NOT a char ratio
+    * of the joined strings (['jon','smith'] vs ['john','smith'] is 0.5
+    * here and ~0.95 char-wise; the reference scores lists).
+    */
+  def ratioTokens(a: IndexedSeq[String], b: IndexedSeq[String]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val m = totalMatchedSeq(a, 0, a.length, b, 0, b.length)
     2.0 * m / (a.length + b.length)
   }
 
@@ -76,76 +94,305 @@ object Fuzzy {
     (besti, bestj, bestsize)
   }
 
-  /** Char-window fuzzy search of one entity in one text — reference
-    * `fuzzy_match_with_window` semantics: clamp/step arithmetic, candidate
-    * length tolerance, per-window best-above-threshold, overlap suppression
-    * of accepted ranges (first-come at equal score ordering by position).
+  private def totalMatchedSeq(a: IndexedSeq[String], alo: Int, ahi: Int,
+      b: IndexedSeq[String], blo: Int, bhi: Int): Int = {
+    val (bi, bj, size) = longestMatchSeq(a, alo, ahi, b, blo, bhi)
+    if (size == 0) 0
+    else size +
+      totalMatchedSeq(a, alo, bi, b, blo, bj) +
+      totalMatchedSeq(a, bi + size, ahi, b, bj + size, bhi)
+  }
+
+  private def longestMatchSeq(a: IndexedSeq[String], alo: Int, ahi: Int,
+      b: IndexedSeq[String], blo: Int, bhi: Int): (Int, Int, Int) = {
+    val b2j = new java.util.HashMap[String, List[Int]]()
+    var j = bhi - 1
+    while (j >= blo) {
+      val c = b(j)
+      b2j.put(c, j :: Option(b2j.get(c)).getOrElse(Nil))
+      j -= 1
+    }
+    var besti = alo; var bestj = blo; var bestsize = 0
+    var j2len = new java.util.HashMap[Int, Int]()
+    var i = alo
+    while (i < ahi) {
+      val newj2len = new java.util.HashMap[Int, Int]()
+      var hits = Option(b2j.get(a(i))).getOrElse(Nil)
+      while (hits.nonEmpty) {
+        val jj = hits.head
+        val k = Option(j2len.get(jj - 1)).map(_.toInt).getOrElse(0) + 1
+        newj2len.put(jj, k)
+        if (k > bestsize) { besti = i - k + 1; bestj = jj - k + 1; bestsize = k }
+        hits = hits.tail
+      }
+      j2len = newj2len
+      i += 1
+    }
+    (besti, bestj, bestsize)
+  }
+
+  // difflib's own published upper bounds, used ONLY to skip candidates that
+  // provably cannot change the outcome (ub < threshold can never be emitted;
+  // ub <= current best can never be strictly better): real_quick_ratio is
+  // the length bound, quick_ratio the char-multiset bound.
+  private def realQuickBound(la: Int, lb: Int): Double =
+    if (la + lb == 0) 1.0 else 2.0 * math.min(la, lb) / (la + lb)
+
+  private def quickBound(a: String, bCounts: java.util.HashMap[Character, Int],
+      lb: Int): Double = {
+    if (a.isEmpty && lb == 0) return 1.0
+    val avail = new java.util.HashMap[Character, Int]()
+    var m = 0; var i = 0
+    while (i < a.length) {
+      val c = a.charAt(i)
+      val left = Option(avail.get(c))
+        .getOrElse(Option(bCounts.get(c)).map(_.toInt).getOrElse(0))
+      if (left > 0) { m += 1; avail.put(c, left - 1) } else avail.put(c, left)
+      i += 1
+    }
+    2.0 * m / (a.length + lb)
+  }
+
+  private def charCounts(s: String): java.util.HashMap[Character, Int] = {
+    val h = new java.util.HashMap[Character, Int]()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      h.put(c, Option(h.get(c)).map(_.toInt).getOrElse(0) + 1)
+      i += 1
+    }
+    h
+  }
+
+  // ------------------------------------------------------- char windows J5
+
+  /** Char-window fuzzy search of one entity in one text — faithful
+    * `fuzzy_match_with_window` (check_fuzzy_windows_match.py:28-119):
+    * step positions i = 0, step, … ≤ len(text)−len(entity); window =
+    * [i−win/2, i+len(entity)+win/2); candidates at exact entity length plus
+    * every length delta in ±min(20, len/4) with adjusted length ≥ 3;
+    * score = ratio(lower(normWs(entity)), lower(normWs(candidate)));
+    * strict-best per window (first wins ties); accepted ranges suppress
+    * overlapping later windows; final pass drops matches overlapping a kept
+    * match by more than 50 % of the shorter length.
     */
   def charWindowMatches(text: String, entity: String,
       threshold: Double = Config.FuzzyWindowThreshold): List[FuzzyMatch] = {
-    if (entity.isEmpty || text.isEmpty) return Nil
-    val win = math.max(50, math.min(500, (2.5 * entity.length).toInt))
+    val normEntity = Text.normWs(entity)
+    val entityLen = normEntity.length
+    if (entityLen == 0 || text.isEmpty || text.length < entityLen) return Nil
+    val win = math.max(50, math.min(500, (entityLen * 2.5).toInt))
     val step = math.max(1, win / 2)
-    val tol = math.min(20, entity.length / 4)
-    val accepted = scala.collection.mutable.ListBuffer.empty[FuzzyMatch]
-    var ws = 0
-    while (ws < text.length) {
-      val we = math.min(text.length, ws + win)
-      var best: FuzzyMatch = null
-      var len = math.max(1, entity.length - tol)
-      val maxLen = entity.length + tol
-      while (len <= maxLen) {
-        var s = ws
-        while (s + len <= we) {
-          val cand = text.substring(s, s + len)
-          val r = ratio(entity.toLowerCase, cand.toLowerCase)
-          if (r >= threshold && (best == null || r > best.score))
-            best = FuzzyMatch(entity, cand, s, s + len, r)
-          s += 1
-        }
-        len += 1
-      }
-      if (best != null && !accepted.exists(a => a.start < best.end && best.start < a.end))
-        accepted += best
-      ws += step
-      if (we == text.length) ws = text.length
+    val entLower = normEntity.toLowerCase(java.util.Locale.ROOT)
+    val entCounts = charCounts(entLower)
+
+    def sim(candidate: String, bestScore: Double): Double = {
+      val candLower = Text.normWs(candidate).toLowerCase(java.util.Locale.ROOT)
+      val la = entLower.length; val lb = candLower.length
+      // prune: candidates whose upper bound is < threshold can never be
+      // emitted; <= bestScore can never strictly beat the current best —
+      // identical accepted output, orders of magnitude fewer full ratios.
+      val rq = realQuickBound(la, lb)
+      if (rq < threshold || rq <= bestScore) return -1.0
+      val q = quickBound(candLower, entCounts, la)
+      if (q < threshold || q <= bestScore) return -1.0
+      ratio(entLower, candLower)
     }
-    accepted.toList.sortBy(_.start)
+
+    val matchedRanges = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+    val matches = scala.collection.mutable.ListBuffer.empty[FuzzyMatch]
+    var i = 0
+    while (i <= text.length - entityLen) {
+      val wStart = math.max(0, i - win / 2)
+      val wEnd = math.min(text.length, i + entityLen + win / 2)
+      val windowText = text.substring(wStart, wEnd)
+      var bestScore = 0.0
+      var bestMatch: String = null
+      var bestPos = -1
+      // scan 1: candidates at exact entity length
+      var j = 0
+      while (j + entityLen <= windowText.length) {
+        val cand = windowText.substring(j, j + entityLen)
+        val score = sim(cand, bestScore)
+        if (score > bestScore) { bestScore = score; bestMatch = cand; bestPos = wStart + j }
+        j += 1
+      }
+      // scan 2: length deltas (delta 0 is scan 1 again — a re-score of the
+      // same candidates can never be STRICTLY better, so it is skipped)
+      val tol = math.min(20, entityLen / 4)
+      var delta = -tol
+      while (delta <= tol) {
+        val adjLen = entityLen + delta
+        if (delta != 0 && adjLen >= 3) {
+          var j2 = 0
+          while (j2 + adjLen <= windowText.length) {
+            val cand = windowText.substring(j2, j2 + adjLen)
+            val score = sim(cand, bestScore)
+            if (score > bestScore) { bestScore = score; bestMatch = cand; bestPos = wStart + j2 }
+            j2 += 1
+          }
+        }
+        delta += 1
+      }
+      if (bestScore >= threshold && bestMatch != null && bestPos >= 0) {
+        val bEnd = bestPos + bestMatch.length
+        val overlapping = matchedRanges.exists { case (s, e) => !(bestPos >= e || bEnd <= s) }
+        if (!overlapping) {
+          matches += FuzzyMatch(entity, bestMatch, bestPos, bEnd, bestScore)
+          matchedRanges += ((bestPos, bEnd))
+        }
+      }
+      i += step
+    }
+    // final 50%-overlap dedup, in start order
+    val sorted = matches.sortBy(_.start)
+    val finalMatches = scala.collection.mutable.ListBuffer.empty[FuzzyMatch]
+    sorted.foreach { m =>
+      val dup = finalMatches.exists { ex =>
+        val os = math.max(m.start, ex.start)
+        val oe = math.min(m.end, ex.end)
+        val ol = math.max(0, oe - os)
+        ol > math.min(m.matched.length, ex.matched.length) * 0.5
+      }
+      if (!dup) finalMatches += m
+    }
+    finalMatches.toList
   }
 
-  /** Token-window fuzzy search (check_token_based_match.py:22-58): slide an
-    * entity-token-count window over the doc tokens, score the joined window
-    * against the entity, map back to char offsets of first/last token.
+  // ------------------------------------------------------ token windows J6
+
+  /** Token-window fuzzy search — faithful `find_token_sequence` +
+    * `find_entity_spans_token_based` (check_token_based_match.py:22-58):
+    * entity-token-count windows at EVERY start position (no skip after an
+    * accepted window), element-level difflib ratio over the token lists,
+    * every window ≥ threshold emitted with char offsets of first/last token.
+    * A multiset quick bound (shared-token count / n, an upper bound on the
+    * list ratio) gates the full ratio — output identical, and windows that
+    * share too few tokens cost O(1).
     */
   def tokenWindowMatches(text: String, entity: String,
       threshold: Double = Config.TokenFuzzyThreshold): List[FuzzyMatch] = {
-    val toks = graft.functions.Text.tokensWithPos(text)
-    val eToks = graft.functions.Text.tokensWithPos(entity).map(_._1)
-    if (eToks.isEmpty || toks.length < eToks.length) return Nil
+    val toks = Text.tokensWithPos(text)
+    val eToks = Text.tokensWithPos(entity).map(_._1)
     val n = eToks.length
-    val target = eToks.mkString(" ")
+    if (n == 0 || toks.length < n) return Nil
+    val eCounts = new java.util.HashMap[String, Int]()
+    eToks.foreach(t => eCounts.put(t, Option(eCounts.get(t)).map(_.toInt).getOrElse(0) + 1))
+    // sliding multiset-intersection counter: shared(i) = |window(i) ∩ eToks|
+    val inWin = new java.util.HashMap[String, Int]()
+    var shared = 0
+    def add(t: String): Unit = {
+      val c = Option(inWin.get(t)).map(_.toInt).getOrElse(0)
+      if (c < Option(eCounts.get(t)).map(_.toInt).getOrElse(0)) shared += 1
+      inWin.put(t, c + 1)
+    }
+    def remove(t: String): Unit = {
+      val c = inWin.get(t)
+      if (c - 1 < Option(eCounts.get(t)).map(_.toInt).getOrElse(0)) shared -= 1
+      inWin.put(t, c - 1)
+    }
+    (0 until n).foreach(k => add(toks(k)._1))
     val out = scala.collection.mutable.ListBuffer.empty[FuzzyMatch]
     var i = 0
     while (i + n <= toks.length) {
-      val windowToks = toks.slice(i, i + n)
-      val window = windowToks.map(_._1).mkString(" ")
-      val r = ratio(window, target)
-      if (r >= threshold) {
-        val start = windowToks.head._2
-        val end = windowToks.last._3
-        out += FuzzyMatch(entity, text.substring(start, end), start, end, r)
-        i += n // skip past an accepted window (non-overlap, reference behavior)
-      } else i += 1
+      if (shared.toDouble / n >= threshold) {
+        val windowToks = toks.slice(i, i + n)
+        val r = ratioTokens(windowToks.map(_._1), eToks)
+        if (r >= threshold) {
+          val start = windowToks.head._2
+          val end = windowToks.last._3
+          out += FuzzyMatch(entity, text.substring(start, end), start, end, r)
+        }
+      }
+      if (i + n < toks.length) { remove(toks(i)._1); add(toks(i + n)._1) }
+      i += 1
     }
     out.toList
   }
 
+  // --------------------------------------------- M4 GLiNER sliding windows
+
+  /** GLiNER-style sliding windows with `last_slide_end_index` rebase
+    * (/root/reference/src/methods/GLiNERModel.py:56-75): windows of
+    * `Config.SlideWindow` tokens advancing by `Config.SlideStep`; each
+    * window pairs with the char offset of its first token in the
+    * SPACE-JOINED token stream — the coordinate the reference rebases
+    * window-local entity offsets into. Returns (windowText, rebaseOffset).
+    */
+  def slidingWindows(tokens: IndexedSeq[String],
+      window: Int = Config.SlideWindow,
+      slide: Int = Config.SlideStep): Vector[(String, Int)] = {
+    val out = Vector.newBuilder[(String, Int)]
+    var lastSlideEnd = 0
+    var i = 0
+    while (i < tokens.length) {
+      val windowText = tokens.slice(i, i + window).mkString(" ")
+      out += ((windowText, lastSlideEnd))
+      val slideText = tokens.slice(i, i + slide).mkString(" ")
+      lastSlideEnd += slideText.length + 1
+      i += slide
+    }
+    out.result()
+  }
+
+  /** M4 composition: windowed scan in joined-token coordinates — windows →
+    * per-window token match → offset rebase → exact-duplicate drop
+    * (find_unique_dicts, GLiNERModel.py:25-30) → leftmost-longest overlap
+    * resolution (remove_overlapping_entities, GLiNERModel.py:33-44).
+    * Overlapping windows (window > slide) guarantee any span of ≤ slide
+    * tokens lands fully inside some window; the rebase makes duplicate
+    * detections collapse to identical global offsets.
+    */
+  def windowedTokenScan(text: String, entity: String,
+      threshold: Double = Config.TokenFuzzyThreshold): List[FuzzyMatch] = {
+    val toks = Text.tokensWithPos(text).map(_._1)
+    val all = slidingWindows(toks).flatMap { case (wt, off) =>
+      tokenWindowMatches(wt, entity, threshold)
+        .map(m => m.copy(start = m.start + off, end = m.end + off))
+    }
+    val unique = all.distinct.sortBy(m => (m.start, -(m.end - m.start)))
+    var lastEnd = -1
+    unique.filter { m =>
+      if (m.start >= lastEnd) { lastEnd = m.end; true } else false
+    }.toList
+  }
+
+  // --------------------------------------------------------- distributed
+
+  /** Fuzzy-recall test corpus: one segment per document — normalized doc
+    * text + planted `" Witness: <variant>."` where variant = person
+    * (doc_id·7 mod |persons|) rendered in style doc_id mod 3 (0 lowercase,
+    * 1 first space → ", ", 2 UPPERCASE). All three styles are invisible to
+    * the case-sensitive exact automaton; the token matcher recovers each at
+    * ratio 1.0 (tokens are lowercased, punctuation-free). Plant arithmetic
+    * is mirrored by Oracle.qFuzzy.
+    */
+  def fuzzySegments(spark: org.apache.spark.sql.SparkSession, sfDir: String): Dataset[Segment] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val nP = graft.model.Gazetteer.persons.length
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+      .as[(Long, String)]
+      .map { case (id, base) =>
+        val p = graft.model.Gazetteer.persons(((id * 7) % nP).toInt)
+        val v = (id % 3) match {
+          case 0 => p.toLowerCase(java.util.Locale.ROOT)
+          case 1 => p.replaceFirst(" ", ", ")
+          case _ => p.toUpperCase(java.util.Locale.ROOT)
+        }
+        Segment(id.toString, 0, 0, "Text", s"$base Witness: $v.")
+      }
+  }
+
   /** Distributed fuzzy scan: segments × (small, broadcast) entity list →
-    * mentions. Narrow stage; intended as the recall pass after the exact
-    * automaton scan (run it on segments the gazetteer missed).
+    * mentions (token-window matcher, the reference's recall pass for
+    * entities the exact automaton missed). Narrow stage; the per-entity
+    * shared-token bound inside [[tokenWindowMatches]] makes segments without
+    * entity vocabulary cost one tokenize pass.
     */
   def scan(segments: Dataset[Segment], entities: Array[(String, String)],
-      threshold: Double = Config.FuzzyWindowThreshold): Dataset[Mention] = {
+      threshold: Double = Config.TokenFuzzyThreshold): Dataset[Mention] = {
     val spark = segments.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(entities)
@@ -153,7 +400,7 @@ object Fuzzy {
       val ents = bc.value
       it.flatMap { seg =>
         ents.iterator.flatMap { case (surface, label) =>
-          tokenWindowMatches(seg.text, surface).map(m =>
+          tokenWindowMatches(seg.text, surface, threshold).map(m =>
             Mention(seg.url, seg.page, seg.seg_no, surface, label, m.start, m.end, m.score))
         }
       }

@@ -3,7 +3,7 @@ package graft.linking
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup.cosineExpr
-import graft.model.Gazetteer
+import graft.model.{Config, Gazetteer}
 
 /** Alias-dictionary entity linking (SURVEY §7.1 Linking.candidates): mention
   * surface → candidate entities scored with per-entity prior + context
@@ -46,6 +46,44 @@ object Linking {
   }
 
   def priorOf(entityId: Long): Long = (entityId * 31L) % 100L * 10L
+
+  /** Per-mention best-candidate pick with the acceptance threshold — the
+    * missing half of the reference's matcher: it scores the mention context
+    * against EVERY reference vector and one-hots cosine ≥ 0.5
+    * (TransformerReferenceExtractor.py:20-22, Config.CosineThreshold).
+    * Candidates = all dictionary entities sharing the mention's label;
+    * best = argmax cosine (ties → lower entity_id); accepted = 1 iff the
+    * best cosine clears the threshold. Plan: mentions ⋈ broadcast(entity
+    * dim) fan-out, one window over the high-cardinality mention key.
+    */
+  def linkBest(mentions: DataFrame, spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val nEmb = emb.count()
+    val entities = aliasDict(spark)
+      .select(col("label"), col("entity_id"), col("prior_milli"))
+      .distinct()
+      .withColumn("evec_id", pmod(col("entity_id"), lit(nEmb)))
+    val m = mentions
+      .select(col("url"), col("surface"), col("label"))
+      .distinct()
+      .withColumn("doc_id", regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long"))
+      .withColumn("mvec_id", pmod(col("doc_id"), lit(nEmb)))
+    val scored = m.join(broadcast(entities), Seq("label"))
+      .join(emb.select(col("vec_id").as("mvec_id"), col("v").as("mv")), "mvec_id")
+      .join(emb.select(col("vec_id").as("evec_id"), col("v").as("ev")), "evec_id")
+      .withColumn("cos", cosineExpr("mv", "ev"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("url"), col("surface"), col("label"))
+          .orderBy(col("cos").desc, col("entity_id"))))
+      .filter(col("rn") === 1)
+      .select(col("url"), col("surface"), col("label"),
+        col("entity_id").as("best_entity"), col("prior_milli"),
+        round(col("prior_milli") * 0.5 + col("cos") * 500.0).cast("long").as("score_milli"),
+        (col("cos") >= Config.CosineThreshold).cast("long").as("accepted"))
+  }
 
   /** Link mentions: broadcast-join the alias dict on surface+label, attach
     * entity context vector (vec_id = entity_id mod |embeddings|) and mention

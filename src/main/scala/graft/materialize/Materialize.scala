@@ -66,20 +66,45 @@ object Materialize {
     val spark = triples.sparkSession
     import spark.implicits._
     val done = doneBuckets(spark, outDir, table)
+    // cache: the pending pipeline feeds BOTH the per-bucket counts action and
+    // the parquet write — uncached it would run twice, and the recorded
+    // lineage counts could drift from the written rows if the input changed
+    // between the two actions.
     val pending = triples.toDF()
       .withColumn("bucket", bucketCol(nBuckets))
       .filter(!col("bucket").isin(done.toSeq: _*))
-    val counts = pending.groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
-      .as[(Int, Long)].collect()
-    if (counts.isEmpty) return Nil
-    pending.write.mode("append").partitionBy("bucket").parquet(s"$outDir/$table")
-    val rows = counts.toSeq.map { case (b, n) => LineageRow(table, b, batchId, n) }
-    rows.toDS().toDF().write.mode("append").parquet(lineagePath(outDir))
-    rows
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = pending.groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+        .as[(Int, Long)].collect()
+      if (counts.isEmpty) return Nil
+      pending.write.mode("append").partitionBy("bucket").parquet(s"$outDir/$table")
+      val rows = counts.toSeq.map { case (b, n) => LineageRow(table, b, batchId, n) }
+      rows.toDS().toDF().write.mode("append").parquet(lineagePath(outDir))
+      rows
+    } finally pending.unpersist()
   }
 
   def readTriples(spark: SparkSession, outDir: String, table: String = "triples"): DataFrame =
     spark.read.parquet(s"$outDir/$table")
+
+  /** S5 JSON entity sink — the reference's per-document entity JSON dumps
+    * (src/ollama_entity_extraction/OllamaNERExtractor.py:27-37) as a
+    * distributed JSON-lines table (one object per row, Spark's native json
+    * sink — splittable, schema'd on read).
+    */
+  def writeJson(df: DataFrame, outDir: String): Unit =
+    df.write.mode("overwrite").json(outDir)
+
+  /** S6 sorted text sink — the reference's sorted name lists
+    * (ollama_ner_extract_names.py sorted-output files). A GLOBAL sort
+    * (range-partitioned exchange) then one text part per partition;
+    * part files concatenate in order.
+    */
+  def writeSortedText(df: DataFrame, column: String, outDir: String): Unit =
+    df.select(col(column).cast("string").as("value"))
+      .orderBy(col("value"))
+      .write.mode("overwrite").text(outDir)
 
   /** Per-partition metric instrumentation (SURVEY §2.5 A11): wraps a typed
     * stage boundary, counting rows and wall nanos per task into an

@@ -37,6 +37,46 @@ object Mentions {
     }
   }
 
+  /** Exact scan + fuzzy recall — the flagship mention flow: the broadcast
+    * automaton runs first; ONLY segments with zero exact hits go to the
+    * token-fuzzy matcher, and only against entities sharing ≥1 token with
+    * the segment (lossless prefilter: a window at ratio ≥ threshold ≥ 0.5
+    * must share at least one token). Still one narrow mapPartitions stage —
+    * no shuffle; on a corpus where the gazetteer hits exactly, the recall
+    * branch costs one tokenize pass per missed segment. The fuzzy path
+    * itself is driver-verified by q_fuzzy's planted-variant oracle.
+    */
+  def scanWithRecall(segments: Dataset[Segment], gazetteer: Array[(String, String)],
+      fuzzyThreshold: Double = graft.model.Config.TokenFuzzyThreshold): Dataset[Mention] = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(gazetteer)
+    segments.mapPartitions { it =>
+      val gaz = bc.value
+      val ac = AhoCorasick.cached(gaz.map(_._1))
+      val tokenIndex: Map[String, List[Int]] = gaz.indices.toList
+        .flatMap(i => graft.functions.Text.tokensWithPos(gaz(i)._1).map(_._1 -> i))
+        .groupMap(_._1)(_._2)
+      it.flatMap { seg =>
+        val raw = ac.scan(seg.text).map { case (p, s, e) =>
+          Mention(seg.url, seg.page, seg.seg_no, gaz(p)._1, gaz(p)._2, s, e, 1.0)
+        }
+        if (raw.nonEmpty) resolveOverlaps(raw)
+        else {
+          val segToks = graft.functions.Text.tokensWithPos(seg.text)
+          val cands = segToks.iterator.map(_._1)
+            .flatMap(t => tokenIndex.getOrElse(t, Nil)).toSet
+          if (cands.isEmpty) Nil
+          else resolveOverlaps(cands.toList.sorted.flatMap { gi =>
+            graft.fuzzy.Fuzzy.tokenWindowMatches(seg.text, gaz(gi)._1, fuzzyThreshold)
+              .map(m => Mention(seg.url, seg.page, seg.seg_no,
+                gaz(gi)._1, gaz(gi)._2, m.start, m.end, m.score))
+          })
+        }
+      }
+    }
+  }
+
   /** Greedy non-overlap selection — the reference's
     * `remove_overlapping_entities` (OllamaNERExtractor.py:101-112, 6 dupes):
     * sort by (start asc, length desc), keep a span iff it starts at/after

@@ -104,4 +104,12 @@ object Config {
 
   /** Near-dup n-gram Jaccard threshold. */
   val JaccardThreshold = 0.8
+
+  /** Stop-token cap for similarity blocking: tokens shared by more than
+    * this many surfaces are dropped as BLOCKING keys (candidate generation
+    * only — verification still scores full word arrays). Prevents the
+    * per-token block from going quadratic on shared first/last names at
+    * corpus scale. Mirrored in the DuckDB oracle (Oracle.canonCtes).
+    */
+  val MaxTokenBlock = 1000L
 }

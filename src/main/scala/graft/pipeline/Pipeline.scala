@@ -28,7 +28,7 @@ object Pipeline {
     Extract.segments(pages(spark, sfDir))
 
   def mentions(spark: SparkSession, sfDir: String): Dataset[Mention] =
-    Mentions.scan(segments(spark, sfDir), Gazetteer.all.toArray)
+    Mentions.scanWithRecall(segments(spark, sfDir), Gazetteer.all.toArray)
 
   // Session-scoped memo of the cached mention Dataset: many SparkEntry
   // queries branch off the same scan, and Verify/Bench run them all in one
@@ -67,7 +67,7 @@ object Pipeline {
     */
   def triplesAmplified(spark: SparkSession, sfDir: String, factor: Int): Dataset[Triple] = {
     val pages = Pages.synthesizeAmplified(spark, sfDir, factor)
-    val ms = Mentions.scan(Extract.segments(pages), Gazetteer.all.toArray).cache()
+    val ms = Mentions.scanWithRecall(Extract.segments(pages), Gazetteer.all.toArray).cache()
     val cooc = Relations.cooccurrence(ms)
     val prov = Relations.mentionedIn(ms, Canon.canonicalMap(ms))
     cooc.unionByName(prov)

@@ -144,11 +144,18 @@ object Oracle {
     keyed AS (SELECT surface, n_mentions, lower(strip_accents(surface)) AS sim_key FROM stats),
     toks AS (SELECT DISTINCT surface, sim_key, unnest(string_split(sim_key, ' ')) AS tok FROM keyed),
     wsize AS (SELECT surface, COUNT(DISTINCT tok) AS nw FROM toks GROUP BY surface),
+    -- stop-token cap (Config.MaxTokenBlock), candidate generation only —
+    -- mirrors graft.canon.Canon.similarityEdges
+    blocktoks AS (SELECT * FROM toks WHERE tok IN
+      (SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) <= ${Config.MaxTokenBlock})),
+    cand AS (SELECT DISTINCT ta.surface AS a, tb.surface AS b
+             FROM blocktoks ta JOIN blocktoks tb ON ta.tok = tb.tok AND ta.surface < tb.surface),
     shared AS (SELECT ta.surface AS a, tb.surface AS b, COUNT(DISTINCT ta.tok) AS ns
                FROM toks ta JOIN toks tb ON ta.tok = tb.tok AND ta.surface < tb.surface
                GROUP BY ta.surface, tb.surface),
     edges AS (
       SELECT s.a, s.b FROM shared s
+      JOIN cand c ON c.a = s.a AND c.b = s.b
       JOIN keyed ka ON ka.surface = s.a JOIN keyed kb ON kb.surface = s.b
       JOIN wsize wa ON wa.surface = s.a JOIN wsize wb ON wb.surface = s.b
       WHERE ka.sim_key = kb.sim_key
@@ -388,6 +395,37 @@ object Oracle {
     FROM j JOIN emb a ON a.vec_id = j.mvec_id JOIN emb b ON b.vec_id = j.evec_id"""
   }
 
+  /** Best-candidate linking with the 0.5 one-hot acceptance
+    * (TransformerReferenceExtractor.py:20-22): per mention, argmax cosine
+    * over all label-mate entities, ties to the lower entity_id.
+    */
+  val qLinkingBest: String = {
+    val dict = graft.linking.Linking.aliasRows
+      .map { case (s, l, id, p) => s"('${s.replace("'", "''")}', '$l', $id, $p)" }
+      .mkString(", ")
+    val thr = Config.CosineThreshold
+    s"""WITH $baseCtes,
+    dict(surface, label, entity_id, prior_milli) AS (VALUES $dict),
+    ents AS (SELECT DISTINCT label, entity_id, prior_milli FROM dict),
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    m AS (SELECT DISTINCT dd.url, pm.surface, pm.label, pm.doc_id
+          FROM pm JOIN docs dd ON dd.doc_id = pm.doc_id),
+    j AS (SELECT m.url, m.surface, m.label, e.entity_id, e.prior_milli,
+            m.doc_id % (SELECT COUNT(*) FROM embeddings) AS mvec_id,
+            e.entity_id % (SELECT COUNT(*) FROM embeddings) AS evec_id
+          FROM m JOIN ents e ON e.label = m.label),
+    s AS (SELECT j.*,
+            list_inner_product(a.v, b.v) /
+              sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)) AS cos
+          FROM j JOIN emb a ON a.vec_id = j.mvec_id JOIN emb b ON b.vec_id = j.evec_id),
+    r AS (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY url, surface, label
+            ORDER BY cos DESC, entity_id) AS rn FROM s)
+    SELECT url, surface, label, entity_id AS best_entity, prior_milli,
+      CAST(round(prior_milli * 0.5 + cos * 500.0) AS BIGINT) AS score_milli,
+      CAST(cos >= $thr AS BIGINT) AS accepted
+    FROM r WHERE rn = 1"""
+  }
+
   /** NL-date round trip (P11): engine renders each event date in a cycled
     * NL style and parses it back; oracle is the plain calendar date.
     */
@@ -434,6 +472,111 @@ object Oracle {
            CAST(r1.base_len + 23 + length(r1.surface) + length(r2.surface) AS BIGINT) AS pos_end,
            r2.parsed_date
     FROM r2 JOIN r1 ON r1.doc_id = r2.doc_id"""
+  }
+
+  /** Distributed-CC twin: a synthesized graph over documents (5-blocks of
+    * consecutive ids chained, every 35th id bridging to the previous block)
+    * run through the DISTRIBUTED min-label path (localThreshold = 0 in the
+    * wired query), verified against a recursive-closure derivation.
+    */
+  val qCcDist: String =
+    """WITH RECURSIVE
+    v AS (SELECT printf('v%07d', doc_id) AS surface FROM documents),
+    e AS (SELECT printf('v%07d', doc_id) AS a, printf('v%07d', doc_id - 1) AS b
+          FROM documents WHERE doc_id % 5 <> 0
+          UNION ALL
+          SELECT printf('v%07d', doc_id), printf('v%07d', doc_id - 5)
+          FROM documents WHERE doc_id % 35 = 0 AND doc_id > 0),
+    sym AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e
+            UNION SELECT surface, surface FROM v),
+    reach(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+    comp AS (SELECT src AS surface, MIN(dst) AS component FROM reach GROUP BY src)
+    SELECT component, COUNT(*) AS n_members FROM comp GROUP BY component"""
+
+  /** Exploded entity-occurrence provenance (A1's array<struct> payload, not
+    * just its counts): every planted mention with its within-segment char
+    * offsets, from the plant arithmetic — each planted sentence is one
+    * segment, "(P) representing (O) of (G) cited (PR) of (L)." with the
+    * connector lengths 14/4/7/4.
+    */
+  val qEntityOcc: String = {
+    val nP = Gazetteer.persons.length; val nO = Gazetteer.orgs.length
+    val nG = Gazetteer.gpes.length; val nPr = Gazetteer.provisions.length
+    val nL = Gazetteer.laws.length
+    // cumulative start offsets inside the planted sentence
+    val sOrg = "length(ps) + 14"
+    val sGpe = s"$sOrg + length(os) + 4"
+    val sPr = s"$sGpe + length(gs) + 7"
+    val sLaw = s"$sPr + length(prs) + 4"
+    s"""WITH $baseCtes,
+    s AS (SELECT pl.doc_id, pl.j, p.surface AS ps, o.surface AS os, g.surface AS gs,
+                 pr.surface AS prs, l.surface AS ls
+          FROM plants pl
+          JOIN persons p ON p.idx = (pl.doc_id*7 + pl.j*13) % $nP
+          JOIN orgs o ON o.idx = (pl.doc_id*13 + pl.j*29) % $nO
+          JOIN gpes g ON g.idx = (pl.doc_id*11 + pl.j*17) % $nG
+          JOIN provisions pr ON pr.idx = (pl.doc_id*3 + pl.j*23) % $nPr
+          JOIN laws l ON l.idx = (pl.doc_id*5 + pl.j*19) % $nL),
+    occ AS (
+      SELECT doc_id, ps AS surface, 'PERSON' AS label, 0 AS pos, length(ps) AS pos_end FROM s
+      UNION ALL SELECT doc_id, os, 'ORG', $sOrg, $sOrg + length(os) FROM s
+      UNION ALL SELECT doc_id, gs, 'GPE', $sGpe, $sGpe + length(gs) FROM s
+      UNION ALL SELECT doc_id, prs, 'PROVISION', $sPr, $sPr + length(prs) FROM s
+      UNION ALL SELECT doc_id, ls, 'LAW', $sLaw, $sLaw + length(ls) FROM s)
+    SELECT o.surface, o.label, dd.url,
+      CAST(o.pos AS BIGINT) AS pos, CAST(o.pos_end AS BIGINT) AS pos_end
+    FROM occ o JOIN docs dd ON dd.doc_id = o.doc_id"""
+  }
+
+  /** Fuzzy token-recall mentions over the planted-variant corpus
+    * (graft.fuzzy.Fuzzy.fuzzySegments): expected matches are derived with an
+    * INDEPENDENT exact-token matcher here (contiguous token-sequence
+    * equality), valid because every gazetteer person has ≤ 4 tokens — a
+    * non-identical n≤4 window tops out at difflib list-ratio
+    * 2(n−1)/2n ≤ 0.75 < 0.8, so ratio ≥ 0.8 ⟺ token equality. The builder
+    * enforces the precondition with a require.
+    */
+  val qFuzzy: String = {
+    val nP = Gazetteer.persons.length
+    def toksOf(s: String): Vector[(String, Int, Int)] = {
+      val m = java.util.regex.Pattern.compile("(?U)\\w+").matcher(s)
+      val b = Vector.newBuilder[(String, Int, Int)]
+      while (m.find()) b += ((m.group().toLowerCase(java.util.Locale.ROOT), m.start(), m.end()))
+      b.result()
+    }
+    require(Gazetteer.persons.forall(p => toksOf(p).length <= 4),
+      "qFuzzy's exact-token oracle requires <=4-token person surfaces " +
+        "(a 5-token window can reach list-ratio 0.8 without being identical)")
+    val rows = for {
+      pi <- Gazetteer.persons.indices
+      st <- 0 to 2
+      p = Gazetteer.persons(pi)
+      v = st match {
+        case 0 => p.toLowerCase(java.util.Locale.ROOT)
+        case 1 => p.replaceFirst(" ", ", ")
+        case _ => p.toUpperCase(java.util.Locale.ROOT)
+      }
+      vToks = toksOf(v)
+      e <- Gazetteer.persons
+      eT = toksOf(e).map(_._1)
+      w <- 0 to vToks.length - eT.length
+      if vToks.slice(w, w + eT.length).map(_._1) == eT
+    } yield (pi, st, e, vToks(w)._2, vToks(w + eT.length - 1)._3)
+    val values = rows.map { case (pi, st, e, s, en) =>
+      s"($pi, $st, '${e.replace("'", "''")}', $s, $en)"
+    }.mkString(", ")
+    s"""WITH norm AS (SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS text FROM documents),
+    m(pidx, style, surface, off_s, off_e) AS (VALUES $values),
+    d AS (SELECT doc_id, length(text) AS base_len,
+            (doc_id * 7) % $nP AS pidx, doc_id % 3 AS style FROM norm)
+    SELECT d.doc_id, m.surface,
+      CAST(d.base_len + 10 + m.off_s AS BIGINT) AS pos,
+      CAST(d.base_len + 10 + m.off_e AS BIGINT) AS pos_end,
+      CAST(1000 AS BIGINT) AS score_milli
+    FROM d JOIN m ON m.pidx = d.pidx AND m.style = d.style"""
   }
 
   /** Provenance triples with canonical subjects. */

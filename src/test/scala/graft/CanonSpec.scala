@@ -68,4 +68,52 @@ class CanonSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(local == dist)
   }
+
+  test("distributed CC with a planted mega-component hub takes the broadcast branch") {
+    import spark.implicits._
+    // star: one hub linked to 3000 leaves + a disjoint pair; hubDegree = 100
+    // forces the hub's adjacency through the broadcast label join
+    val leaves = (0 until 3000).map(i => f"leaf$i%05d")
+    val verts = ("hub" +: leaves :+ "x1" :+ "x2").toDF("surface")
+    val edges = leaves.map(l => ("hub", l)).toDF("a", "b")
+      .unionByName(Seq(("x1", "x2")).toDF("a", "b"))
+    val cc = Canon.connectedComponents(verts, edges,
+        localThreshold = 0, hubDegree = 100)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val expected = "hub" // lexicographic min of {hub} ∪ leaves is "hub"
+    assert(cc("hub") == expected)
+    assert(leaves.forall(l => cc(l) == expected))
+    assert(cc("x1") == "x1" && cc("x2") == "x1")
+  }
+
+  test("distributed CC ignores edges with endpoints outside the vertex set (ccLocal parity)") {
+    import spark.implicits._
+    val verts = Seq("a", "b", "c").toDF("surface")
+    val edges = Seq(("a", "b"), ("b", "ghost"), ("ghost", "c")).toDF("a", "b")
+    val dist = Canon.connectedComponents(verts, edges, localThreshold = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val local = Canon.connectedComponents(verts, edges) // fast path
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // ghost must not bridge b and c, and must not appear in the output
+    assert(dist == Map("a" -> "a", "b" -> "a", "c" -> "c"))
+    assert(dist == local)
+  }
+
+  test("similarityEdges drops hot blocking tokens but keeps other-token pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 40 surfaces all share the hot token "de"; two of them also share the
+    // rare token "vasquez" (a similar pair). cap = 10 → "de" blocks nothing,
+    // the vasquez pair still survives via its rare token.
+    val surfaces = (0 until 38).map(i => f"de person$i%02d") ++
+      Seq("Maria de Vasquez", "Maria de Vasquez Ortiz")
+    val dim = Canon.surfaceDim(spark, surfaces)
+      .withColumn("n_mentions", lit(1L))
+    val edges = Canon.similarityEdges(dim, maxBlock = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(edges.contains(("Maria de Vasquez", "Maria de Vasquez Ortiz")))
+    // none of the de-only pairs survive: "de" exceeded the cap and they
+    // share no rare token
+    assert(edges.size == 1)
+  }
 }

@@ -47,6 +47,27 @@ class MaterializeSpec extends SparkSpec {
     assert(rows.forall(_.stage == "stage1"))
   }
 
+  test("S5 json sink round-trips rows; S6 sorted text sink is globally ordered") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sinks").toString
+    val df = Seq(("Maria", "PERSON", 3L), ("Ana", "PERSON", 1L), ("Zoe", "PERSON", 2L))
+      .toDF("surface", "label", "n")
+    Materialize.writeJson(df, s"$dir/json")
+    val back = spark.read.json(s"$dir/json")
+    assert(back.count() == 3)
+    assert(back.select("surface", "label", "n").as[(String, String, Long)]
+      .collect().toSet == Set(("Maria", "PERSON", 3L), ("Ana", "PERSON", 1L), ("Zoe", "PERSON", 2L)))
+
+    Materialize.writeSortedText(df.repartition(3), "surface", s"$dir/txt")
+    // global order: part files sorted by name concatenate to a sorted list
+    val files = new java.io.File(s"$dir/txt").listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    val lines = files.flatMap(f =>
+      java.nio.file.Files.readAllLines(f.toPath).toArray.map(_.toString))
+    assert(lines.toSeq == Seq("Ana", "Maria", "Zoe"))
+  }
+
   test("bucketCol derives the url-embedded id deterministically") {
     import spark.implicits._
     val df = Seq("https://a.example.org/doc/17", "https://b.example.org/doc/32")

@@ -52,4 +52,17 @@ class TextSpec extends AnyFunSuite {
       }
     }, "token offsets")
   }
+
+  // Goldens are CPython str.title() outputs — the byte-parity edge SURVEY
+  // §7.6 risk 2 flagged (initcap gives "O'neill"/"Anna-maria"/"3rd").
+  test("pyTitle matches Python str.title() on apostrophe/hyphen/digit edges") {
+    assert(Text.pyTitle("o'neill") == "O'Neill")
+    assert(Text.pyTitle("they're bill's friends from the uk") == "They'Re Bill'S Friends From The Uk")
+    assert(Text.pyTitle("anna-maria lópez") == "Anna-Maria López")
+    assert(Text.pyTitle("3rd act") == "3Rd Act")
+    assert(Text.pyTitle("maria elena vasquez") == "Maria Elena Vasquez")
+    assert(Text.pyTitle("MARIA ELENA") == "Maria Elena")
+    assert(Text.pyTitle("") == "")
+    assert(Text.pyTitle("x") == "X")
+  }
 }
