@@ -12,12 +12,15 @@ object Smoke {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.01"
-    for (q <- Seq("q_linking_best", "q_entity_occ", "q_cc_dist", "q_lineage", "q_normalize")) {
+    for (q <- Seq("q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash")) {
       val t = System.nanoTime()
-      val df = SparkEntry.queries(q)(spark, sf)
-      println(s"SMOKE $q rows=${df.count()} in ${(System.nanoTime()-t)/1e9}%.1f".replace("%.1f",""))
-      df.show(3, false)
+      val n = SparkEntry.queries(q)(spark, sf).count()
+      println(f"SMOKE $q rows=$n in ${(System.nanoTime()-t)/1e9}%.1fs")
     }
+    // simhash payload must be unchanged by the explode-free rewrite: spot 3 rows
+    graft.dedup.Dedup.simhash(graft.dedup.Dedup.corpus(spark, sf))
+      .filter(col("doc_id").isin(0, 7, 35)).orderBy("doc_id")
+      .collect().foreach(r => println(s"SMOKE sh ${r.getLong(0)} ${r.getString(1)}"))
     spark.stop()
   }
 }

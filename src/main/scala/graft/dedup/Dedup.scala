@@ -50,12 +50,17 @@ object Dedup {
       )).as("s"))
       .distinct()
 
-  private def jaccardVerify(sh: DataFrame, cand: Option[DataFrame]): DataFrame = {
+  /** Exact-Jaccard verification DRIVEN BY the candidate set: intersection
+    * counts come from cand ⋈ shingles(a) ⋈ shingles(b) — cost linear in
+    * |candidates| × shingles-per-doc. (Round 1 enumerated ALL pairs sharing
+    * a shingle and only then semi-joined candidates, so even the LSH path
+    * paid the quadratic inverted-index join.)
+    */
+  private def jaccardVerify(sh: DataFrame, cand: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shared = sh.select(col("doc_id").as("a"), col("s"))
-      .join(sh.select(col("doc_id").as("b"), col("s")), Seq("s"))
-      .filter(col("a") < col("b"))
-    val inter = cand.fold(shared)(c => shared.join(c, Seq("a", "b"), "left_semi"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a"), col("s")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
@@ -65,22 +70,49 @@ object Dedup {
       .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
   }
 
-  /** Near-dup pairs by exact n-gram Jaccard ≥ 0.8: inverted-index candidate
-    * join (pairs sharing ≥1 shingle) + count-based verification. Integer
-    * outputs (inter, na, nb) keep the oracle compare float-free.
+  /** Informative-shingle universe: shingles held by more than `maxDf` docs
+    * are removed entirely (a stop-phrase shingle shared by millions of docs
+    * makes the inverted-index self-join quadratic in that posting list —
+    * the standard fix is to drop hot shingles before indexing; a ≥0.8-
+    * Jaccard pair shares ~80 % of its shingles, so recall barely moves).
+    * Jaccard is then exact over this universe. Mirrored in the oracle.
     */
-  def ngramJaccard(corpus: DataFrame): DataFrame =
-    jaccardVerify(shingles(corpus), None)
+  private def informativeShingles(sh: DataFrame, maxDf: Long): DataFrame = {
+    val cold = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("s"))
+    sh.join(cold, Seq("s"), "left_semi")
+  }
 
-  /** MinHash signatures: per (doc, seed) the lexicographic min of
-    * md5(seed:shingle) — k=12 seeds via a literal explode, map-side
-    * combinable min aggregate.
+  /** Near-dup pairs by exact n-gram Jaccard ≥ 0.8 over the df-capped shingle
+    * universe: one inverted-index self-join + count verification (single
+    * pass — candidates and intersection counts come from the same join).
+    * Integer outputs (inter, na, nb) keep the oracle compare float-free.
+    */
+  def ngramJaccard(corpus: DataFrame, maxDf: Long = Config.MaxShingleDf): DataFrame = {
+    val sh = informativeShingles(shingles(corpus), maxDf)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("a"), col("s"))
+      .join(sh.select(col("doc_id").as("b"), col("s")), Seq("s"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .filter(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double") >= Config.JaccardThreshold)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
+  }
+
+  /** MinHash signatures, one row per doc: k=12 min aggregates computed in a
+    * SINGLE groupBy — no seed explode (round 1 shuffled every shingle 12×
+    * through an exploded (doc, seed) key and needed a second groupBy to
+    * pivot). Each `min(md5(i || ':' || s))` is codegen'd and map-side
+    * combinable; the only shuffle is one row of 12 strings per doc.
     */
   def minhashSignature(sh: DataFrame): DataFrame = {
-    val seeds = (0 until Config.MinHashK).map(lit(_))
-    sh.select(col("doc_id"), explode(array(seeds: _*)).as("sd"), col("s"))
-      .groupBy(col("doc_id"), col("sd"))
-      .agg(min(md5(concat(col("sd").cast("string"), lit(":"), col("s")))).as("h"))
+    val sigCols = (0 until Config.MinHashK).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
   /** LSH candidates: band keys = concat of r=3 adjacent signature slots;
@@ -89,11 +121,7 @@ object Dedup {
     */
   def minhashCandidates(sh: DataFrame): DataFrame = {
     val r = Config.MinHashRows
-    val sigCols = (0 until Config.MinHashK).map(i =>
-      min(when(col("sd") === i, col("h"))).as(s"h$i"))
     val sig = minhashSignature(sh)
-      .groupBy(col("doc_id"))
-      .agg(sigCols.head, sigCols.tail: _*)
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until Config.MinHashBands).map(b =>
         struct(lit(b).as("band"),
@@ -110,7 +138,7 @@ object Dedup {
   /** MinHash LSH near-dup: banded candidates verified with exact Jaccard. */
   def minhashLsh(corpus: DataFrame): DataFrame = {
     val sh = shingles(corpus)
-    jaccardVerify(sh, Some(minhashCandidates(sh)))
+    jaccardVerify(sh, minhashCandidates(sh))
   }
 
   /** SimHash (64-bit) per doc over the distinct-token set: bit b of a token
@@ -123,16 +151,17 @@ object Dedup {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .distinct()
       .withColumn("h", md5(col("t")))
-    val bits = toks.select(col("doc_id"), col("h"),
-        explode(expr("sequence(0, 63)")).as("b"))
-      .withColumn("digit", expr("cast(conv(substring(h, cast(b / 4 as int) + 1, 1), 16, 10) as int)"))
-      .withColumn("shift", lit(3) - pmod(col("b"), lit(4)))
-      .withColumn("bit", expr("shiftright(digit, shift) & 1"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("bit") * 2 - 1).as("acc"))
-      .withColumn("ob", when(col("acc") > 0, lit("1")).otherwise(lit("0")))
-    bits.groupBy(col("doc_id"))
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(b, ob))), x -> x.ob), '')").as("simhash"))
+    // 64 codegen'd ±1 sum aggregates in ONE groupBy — no 64× bit explode,
+    // no (doc, bit) shuffle (round 1 shuffled 64 rows per token); each sum
+    // is map-side combinable, so the shuffle is one 64-int row per doc.
+    val bitAggs = (0 until 64).map { b =>
+      val bit = expr(
+        s"shiftright(cast(conv(substring(h, ${b / 4 + 1}, 1), 16, 10) as int), ${3 - b % 4}) & 1")
+      sum(bit * 2 - 1).as(s"acc$b")
+    }
+    toks.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), concat((0 until 64).map(b =>
+        when(col(s"acc$b") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
   }
 
   /** Embedding near-dup corpus: base vectors (as double) ∪ planted

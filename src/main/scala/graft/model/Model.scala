@@ -105,6 +105,12 @@ object Config {
   /** Near-dup n-gram Jaccard threshold. */
   val JaccardThreshold = 0.8
 
+  /** Document-frequency cap for inverted-index dedup candidates: shingles in
+    * more than this many docs are dropped as candidate keys (stop-phrase
+    * posting lists go quadratic at corpus scale). Mirrored in the oracle.
+    */
+  val MaxShingleDf = 1000L
+
   /** Stop-token cap for similarity blocking: tokens shared by more than
     * this many surfaces are dropped as BLOCKING keys (candidate generation
     * only — verification still scores full word arrays). Prevents the

@@ -45,9 +45,17 @@ object OracleOps {
     FROM corpus GROUP BY md5(text)"""
 
   val qDedupNgram: String =
-    s"""WITH $corpusCtes, $shingleCtes
+    s"""WITH $corpusCtes, $shingleCtes,
+    -- informative-shingle universe (df <= Config.MaxShingleDf), mirroring
+    -- graft.dedup.Dedup.informativeShingles
+    sh2 AS (SELECT * FROM sh WHERE s IN
+      (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= ${Config.MaxShingleDf})),
+    sizes2 AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+    shared2 AS (SELECT ta.doc_id AS a, tb.doc_id AS b, COUNT(*) AS inter
+                FROM sh2 ta JOIN sh2 tb ON ta.s = tb.s AND ta.doc_id < tb.doc_id
+                GROUP BY ta.doc_id, tb.doc_id)
     SELECT s.a, s.b, s.inter, sa.n AS na, sb.n AS nb
-    FROM shared s JOIN sizes sa ON sa.doc_id = s.a JOIN sizes sb ON sb.doc_id = s.b
+    FROM shared2 s JOIN sizes2 sa ON sa.doc_id = s.a JOIN sizes2 sb ON sb.doc_id = s.b
     WHERE CAST(s.inter AS DOUBLE) / (sa.n + sb.n - s.inter) >= ${Config.JaccardThreshold}"""
 
   val qDedupMinhash: String = {
