@@ -12,15 +12,12 @@ object Smoke {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.01"
-    for (q <- Seq("q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash")) {
+    for (q <- Seq("q_entity_aliases", "q_linked_partition", "q_lineage")) {
       val t = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, sf).count()
-      println(f"SMOKE $q rows=$n in ${(System.nanoTime()-t)/1e9}%.1fs")
+      val df = SparkEntry.queries(q)(spark, sf)
+      println(f"SMOKE $q rows=${df.count()} in ${(System.nanoTime()-t)/1e9}%.1fs")
+      df.show(4, false)
     }
-    // simhash payload must be unchanged by the explode-free rewrite: spot 3 rows
-    graft.dedup.Dedup.simhash(graft.dedup.Dedup.corpus(spark, sf))
-      .filter(col("doc_id").isin(0, 7, 35)).orderBy("doc_id")
-      .collect().foreach(r => println(s"SMOKE sh ${r.getLong(0)} ${r.getString(1)}"))
     spark.stop()
   }
 }

@@ -55,6 +55,19 @@ object SparkEntry {
     "q_canon" -> ((s, dir) => {
       Pipeline.canonCached(s, dir)
     }),
+    // C8/A3/A10: canonical-keyed rollup with alias sets under oracle
+    "q_entity_aliases" -> ((s, dir) => {
+      graft.aggregate.Entities.canonicalRollup(
+          Pipeline.mentionsCached(s, dir), Pipeline.canonCached(s, dir))
+        .select(col("canonical"), col("label"), col("n_mentions"), col("n_urls"),
+          array_join(col("aliases"), "|").as("aliases"))
+    }),
+    // C7: linked/isolated surface partition under oracle
+    "q_linked_partition" -> ((s, dir) => {
+      val stats = Canon.surfaceStats(Pipeline.mentionsCached(s, dir))
+      Canon.linkedPartition(stats.select(col("surface")), Canon.similarityEdges(stats))
+        .select(col("surface"), col("linked").cast("long").as("linked"))
+    }),
     // A1 provenance payload under oracle: the occurrences array<struct>
     // exploded back to positioned rows (not just its counts)
     "q_entity_occ" -> ((s, dir) => {
@@ -200,11 +213,17 @@ object SparkEntry {
         java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
           .foreach(java.nio.file.Files.delete)
       }
-      Materialize.writeTriples(Pipeline.triples(s, dir), out, nBuckets = 16)
-      // resume semantics in the wired path: a second invocation sees every
-      // bucket in the lineage table and must write NOTHING new
-      val second = Materialize.writeTriples(Pipeline.triples(s, dir), out, nBuckets = 16, batchId = 1)
-      require(second.isEmpty, s"resume skip failed: rewrote ${second.size} buckets")
+      // cache across the two write calls: the resume check below re-derives
+      // pending work (that's the semantics), but need not re-run the whole
+      // triple pipeline for it
+      val triples = Pipeline.triples(s, dir).cache()
+      try {
+        Materialize.writeTriples(triples, out, nBuckets = 16)
+        // resume semantics in the wired path: a second invocation sees every
+        // bucket in the lineage table and must write NOTHING new
+        val second = Materialize.writeTriples(triples, out, nBuckets = 16, batchId = 1)
+        require(second.isEmpty, s"resume skip failed: rewrote ${second.size} buckets")
+      } finally triples.unpersist()
       Materialize.readLineage(s, out)
         .groupBy(col("bucket")).agg(sum(col("n_rows")).as("n_rows"))
     }),
@@ -246,6 +265,8 @@ object SparkEntry {
     "q_mentions" -> Oracle.qMentions,
     "q_entity_rollup" -> Oracle.qEntityRollup,
     "q_entity_occ" -> Oracle.qEntityOcc,
+    "q_entity_aliases" -> Oracle.qEntityAliases,
+    "q_linked_partition" -> Oracle.qLinkedPartition,
     "q_canon" -> Oracle.qCanon,
     "q_triples" -> Oracle.qTriples,
     "q_entity_prov" -> Oracle.qEntityProv,

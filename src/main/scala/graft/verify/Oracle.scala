@@ -474,6 +474,31 @@ object Oracle {
     FROM r2 JOIN r1 ON r1.doc_id = r2.doc_id"""
   }
 
+  /** Canonical-keyed rollup (C8/A3/A10): mentions rewritten through the
+    * alias map, re-aggregated per (canonical, label) with sorted alias sets.
+    */
+  val qEntityAliases: String =
+    s"""WITH RECURSIVE $baseCtes, $canonCtes,
+    j AS (SELECT pm.doc_id, pm.label, pm.surface,
+            COALESCE(cm.canonical, pm.surface) AS canonical
+          FROM pm LEFT JOIN canonmap cm ON cm.surface = pm.surface),
+    dist AS (SELECT DISTINCT canonical, label, surface FROM j),
+    al AS (SELECT canonical, label, string_agg(surface, '|' ORDER BY surface) AS aliases
+           FROM dist GROUP BY canonical, label),
+    st AS (SELECT j.canonical, j.label, COUNT(*) AS n_mentions,
+             COUNT(DISTINCT dd.url) AS n_urls
+           FROM j JOIN docs dd ON dd.doc_id = j.doc_id
+           GROUP BY j.canonical, j.label)
+    SELECT st.canonical, st.label, st.n_mentions, st.n_urls, al.aliases
+    FROM st JOIN al ON al.canonical = st.canonical AND al.label = st.label"""
+
+  /** Linked/isolated partition (C7): degree ≥ 1 under the similarity edges. */
+  val qLinkedPartition: String =
+    s"""WITH RECURSIVE $baseCtes, $canonCtes
+    SELECT k.surface,
+      CAST(k.surface IN (SELECT a FROM edges UNION SELECT b FROM edges) AS BIGINT) AS linked
+    FROM keyed k"""
+
   /** Distributed-CC twin: a synthesized graph over documents (5-blocks of
     * consecutive ids chained, every 35th id bridging to the previous block)
     * run through the DISTRIBUTED min-label path (localThreshold = 0 in the
