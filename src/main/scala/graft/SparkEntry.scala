@@ -201,6 +201,17 @@ object SparkEntry {
           round(col("score") * 1000).cast("long").as("score_milli"))
     }),
 
+    // --- char-window fuzzy pass (J5) over one-sentence segments -----------
+    "q_fuzzy_char" -> ((s, dir) => {
+      import graft.model.Gazetteer
+      graft.fuzzy.Fuzzy.scanChar(graft.fuzzy.Fuzzy.fuzzyCharSegments(s, dir),
+          Gazetteer.persons.map(_ -> "PERSON").toArray).toDF()
+        .select(col("url").cast("long").as("doc_id"), col("surface"),
+          col("start").cast("long").as("pos"),
+          col("end").cast("long").as("pos_end"),
+          round(col("score") * 1000).cast("long").as("score_milli"))
+    }),
+
     // --- materialize + lineage (checkpoint-resume surface) ----------------
     "q_lineage" -> ((s, dir) => {
       import graft.materialize.Materialize
@@ -285,6 +296,7 @@ object SparkEntry {
     "q_dates" -> Oracle.qDates,
     "q_date_mentions" -> Oracle.qDateMentions,
     "q_fuzzy" -> Oracle.qFuzzy,
+    "q_fuzzy_char" -> Oracle.qFuzzyChar,
     "q_domain_stats" -> Oracle.qDomainStats,
     "q_lineage" -> Oracle.qLineage,
     "q_dedup_exact" -> OracleOps.qDedupExact,

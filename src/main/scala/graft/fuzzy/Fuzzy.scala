@@ -385,6 +385,51 @@ object Fuzzy {
       }
   }
 
+  /** Char-window fuzzy test corpus: ONE-SENTENCE segments
+    * `"Witness: <variant>."` (same person/style arithmetic as
+    * [[fuzzySegments]], no base text). With sentence length ≪ the 50-char
+    * minimum window, every window covers the whole sentence, so the
+    * reference's J5 semantics collapse to a per-entity best-candidate
+    * enumeration — which Oracle.qFuzzyChar performs directly.
+    */
+  def fuzzyCharSegments(spark: org.apache.spark.sql.SparkSession, sfDir: String): Dataset[Segment] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val nP = graft.model.Gazetteer.persons.length
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val p = graft.model.Gazetteer.persons(((id * 7) % nP).toInt)
+        val v = (id % 3) match {
+          case 0 => p.toLowerCase(java.util.Locale.ROOT)
+          case 1 => p.replaceFirst(" ", ", ")
+          case _ => p.toUpperCase(java.util.Locale.ROOT)
+        }
+        Segment(id.toString, 0, 0, "Text", s"Witness: $v.")
+      }
+  }
+
+  /** Distributed char-window fuzzy scan (J5 at scale): same narrow shape as
+    * [[scan]], with the full fuzzy_match_with_window semantics per
+    * (segment, entity).
+    */
+  def scanChar(segments: Dataset[Segment], entities: Array[(String, String)],
+      threshold: Double = Config.FuzzyWindowThreshold): Dataset[Mention] = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(entities)
+    segments.mapPartitions { it =>
+      val ents = bc.value
+      it.flatMap { seg =>
+        ents.iterator.flatMap { case (surface, label) =>
+          charWindowMatches(seg.text, surface, threshold).map(m =>
+            Mention(seg.url, seg.page, seg.seg_no, surface, label, m.start, m.end, m.score))
+        }
+      }
+    }
+  }
+
   /** Distributed fuzzy scan: segments × (small, broadcast) entity list →
     * mentions (token-window matcher, the reference's recall pass for
     * entities the exact automaton missed). Narrow stage; the per-entity

@@ -474,6 +474,69 @@ object Oracle {
     FROM r2 JOIN r1 ON r1.doc_id = r2.doc_id"""
   }
 
+  /** Char-window fuzzy (J5) over the one-sentence corpus
+    * (Fuzzy.fuzzyCharSegments): sentence length ≪ the 50-char window
+    * minimum, so every step window spans the whole sentence and the
+    * reference semantics collapse to a per-entity strict-best candidate
+    * enumeration, which this builder performs directly (same candidate
+    * order: exact length first, then ±tol skipping 0, positions ascending;
+    * overlap suppression is vacuous — all windows return the same best).
+    * Candidate scoring shares Fuzzy.ratio, which FuzzySpec pins to difflib
+    * goldens; spans and acceptance are enumerated here, independent of the
+    * engine's window/suppression machinery.
+    */
+  val qFuzzyChar: String = {
+    import graft.fuzzy.Fuzzy
+    import graft.functions.Text
+    val nP = Gazetteer.persons.length
+    val thr = Config.FuzzyWindowThreshold
+    val rows = for {
+      pi <- Gazetteer.persons.indices
+      st <- 0 to 2
+      p = Gazetteer.persons(pi)
+      v = st match {
+        case 0 => p.toLowerCase(java.util.Locale.ROOT)
+        case 1 => p.replaceFirst(" ", ", ")
+        case _ => p.toUpperCase(java.util.Locale.ROOT)
+      }
+      text = s"Witness: $v."
+      e <- Gazetteer.persons
+      best <- {
+        val ne = Text.normWs(e)
+        val entLower = ne.toLowerCase(java.util.Locale.ROOT)
+        val L = ne.length
+        val tol = math.min(20, L / 4)
+        var bestScore = 0.0; var bestS = -1; var bestE = -1
+        def scanLen(len: Int): Unit = {
+          var j = 0
+          while (j + len <= text.length) {
+            val cand = text.substring(j, j + len)
+            val r = Fuzzy.ratio(entLower,
+              Text.normWs(cand).toLowerCase(java.util.Locale.ROOT))
+            if (r > bestScore) { bestScore = r; bestS = j; bestE = j + len }
+            j += 1
+          }
+        }
+        if (L <= text.length) {
+          scanLen(L)
+          (-tol to tol).foreach(d =>
+            if (d != 0 && L + d >= 3 && L + d <= text.length) scanLen(L + d))
+        }
+        if (bestScore >= thr) Some((bestS, bestE, math.round(bestScore * 1000)))
+        else None
+      }
+    } yield (pi, st, e, best._1, best._2, best._3)
+    val values = rows.map { case (pi, st, e, s, en, sc) =>
+      s"($pi, $st, '${e.replace("'", "''")}', $s, $en, $sc)"
+    }.mkString(", ")
+    s"""WITH m(pidx, style, surface, off_s, off_e, score_milli) AS (VALUES $values),
+    d AS (SELECT doc_id, (doc_id * 7) % $nP AS pidx, doc_id % 3 AS style FROM documents)
+    SELECT d.doc_id, m.surface,
+      CAST(m.off_s AS BIGINT) AS pos, CAST(m.off_e AS BIGINT) AS pos_end,
+      CAST(m.score_milli AS BIGINT) AS score_milli
+    FROM d JOIN m ON m.pidx = d.pidx AND m.style = d.style"""
+  }
+
   /** Canonical-keyed rollup (C8/A3/A10): mentions rewritten through the
     * alias map, re-aggregated per (canonical, label) with sorted alias sets.
     */
