@@ -66,23 +66,33 @@ object Materialize {
     val spark = triples.sparkSession
     import spark.implicits._
     val done = doneBuckets(spark, outDir, table)
-    // cache: the pending pipeline feeds BOTH the per-bucket counts action and
-    // the parquet write — uncached it would run twice, and the recorded
-    // lineage counts could drift from the written rows if the input changed
-    // between the two actions.
     val pending = triples.toDF()
       .withColumn("bucket", bucketCol(nBuckets))
       .filter(!col("bucket").isin(done.toSeq: _*))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val counts = pending.groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
-        .as[(Int, Long)].collect()
-      if (counts.isEmpty) return Nil
-      pending.write.mode("append").partitionBy("bucket").parquet(s"$outDir/$table")
-      val rows = counts.toSeq.map { case (b, n) => LineageRow(table, b, batchId, n) }
+    // ONE action: the per-bucket lineage counts ride the write job itself
+    // via observe() (nBuckets conditional sums, map-side combinable), so the
+    // pending pipeline never runs twice and the recorded counts can never
+    // drift from the written rows.
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = (0 until nBuckets).map(b =>
+      sum(when(col("bucket") === b, 1L).otherwise(0L)).as(s"b$b"))
+    // repartition by the partition column before the dynamic write: one file
+    // per bucket instead of (tasks × buckets) small files — the standard
+    // dynamic-partition-write shape (at real scale add a second key to fan
+    // each bucket over several files)
+    pending.observe(obs, aggs.head, aggs.tail: _*)
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$outDir/$table")
+    val observed = obs.get
+    val rows = (0 until nBuckets).flatMap { b =>
+      observed.get(s"b$b") match {
+        case Some(n: Long) if n > 0 => Some(LineageRow(table, b, batchId, n))
+        case _ => None // null sums = empty write; zero = bucket already done
+      }
+    }
+    if (rows.nonEmpty)
       rows.toDS().toDF().write.mode("append").parquet(lineagePath(outDir))
-      rows
-    } finally pending.unpersist()
+    rows
   }
 
   def readTriples(spark: SparkSession, outDir: String, table: String = "triples"): DataFrame =
