@@ -54,10 +54,12 @@ object Linking {
     * Candidates = all dictionary entities sharing the mention's label;
     * best = argmax cosine (ties → lower entity_id); accepted = 1 iff the
     * best cosine clears the threshold. Plan: mentions ⋈ broadcast(entity
-    * dim) fan-out, one window over the high-cardinality mention key.
+    * dim) fan-out, then a max_by AGGREGATE on the mention key — partial-
+    * aggregable (map-side combine eats the candidate fan-out before the
+    * shuffle), unlike a sort+window argmax. (cos, -entity_id) has no true
+    * ties (entity ids are distinct), so the pick is deterministic.
     */
   def linkBest(mentions: DataFrame, spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
     val nEmb = emb.count()
@@ -75,14 +77,14 @@ object Linking {
       .join(emb.select(col("vec_id").as("evec_id"), col("v").as("ev")), "evec_id")
       .withColumn("cos", cosineExpr("mv", "ev"))
     scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("url"), col("surface"), col("label"))
-          .orderBy(col("cos").desc, col("entity_id"))))
-      .filter(col("rn") === 1)
+      .groupBy(col("url"), col("surface"), col("label"))
+      .agg(max_by(
+        struct(col("entity_id"), col("prior_milli"), col("cos")),
+        struct(col("cos"), (-col("entity_id")).as("neg_id"))).as("best"))
       .select(col("url"), col("surface"), col("label"),
-        col("entity_id").as("best_entity"), col("prior_milli"),
-        round(col("prior_milli") * 0.5 + col("cos") * 500.0).cast("long").as("score_milli"),
-        (col("cos") >= Config.CosineThreshold).cast("long").as("accepted"))
+        col("best.entity_id").as("best_entity"), col("best.prior_milli").as("prior_milli"),
+        round(col("best.prior_milli") * 0.5 + col("best.cos") * 500.0).cast("long").as("score_milli"),
+        (col("best.cos") >= Config.CosineThreshold).cast("long").as("accepted"))
   }
 
   /** Link mentions: broadcast-join the alias dict on surface+label, attach
