@@ -55,6 +55,17 @@ object SparkEntry {
     "q_canon" -> ((s, dir) => {
       Pipeline.canonCached(s, dir)
     }),
+    // S9: mention context snippets (±Config.ContextChars around each span,
+    // the reference's console report payload, OllamaNERExtractor.py:53-87)
+    "q_mention_context" -> ((s, dir) => {
+      val c = graft.model.Config.ContextChars
+      Pipeline.mentionsCached(s, dir).toDF()
+        .join(Pipeline.segments(s, dir).toDF(), Seq("url", "page", "seg_no"))
+        .select(col("url"), col("surface"), col("label"),
+          col("start").cast("long").as("pos"),
+          expr(s"substring(text, greatest(1, start + 1 - $c), " +
+            s"least(`end` + $c, length(text)) - greatest(0, start - $c))").as("context"))
+    }),
     // C8/A3/A10: canonical-keyed rollup with alias sets under oracle
     "q_entity_aliases" -> ((s, dir) => {
       graft.aggregate.Entities.canonicalRollup(
@@ -276,6 +287,7 @@ object SparkEntry {
     "q_mentions" -> Oracle.qMentions,
     "q_entity_rollup" -> Oracle.qEntityRollup,
     "q_entity_occ" -> Oracle.qEntityOcc,
+    "q_mention_context" -> Oracle.qMentionContext,
     "q_entity_aliases" -> Oracle.qEntityAliases,
     "q_linked_partition" -> Oracle.qLinkedPartition,
     "q_canon" -> Oracle.qCanon,

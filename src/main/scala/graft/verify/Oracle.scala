@@ -474,6 +474,43 @@ object Oracle {
     FROM r2 JOIN r1 ON r1.doc_id = r2.doc_id"""
   }
 
+  /** Mention context snippets (S9): the reference's ±ContextChars console
+    * report (OllamaNERExtractor.py:53-87) as data — rebuilt from the plant
+    * arithmetic (each planted sentence is one segment; label offsets as in
+    * qEntityOcc).
+    */
+  val qMentionContext: String = {
+    val nP = Gazetteer.persons.length; val nO = Gazetteer.orgs.length
+    val nG = Gazetteer.gpes.length; val nPr = Gazetteer.provisions.length
+    val nL = Gazetteer.laws.length
+    val c = Config.ContextChars
+    val sOrg = "length(ps) + 14"
+    val sGpe = s"$sOrg + length(os) + 4"
+    val sPr = s"$sGpe + length(gs) + 7"
+    val sLaw = s"$sPr + length(prs) + 4"
+    s"""WITH $baseCtes,
+    s AS (SELECT pl.doc_id, pl.j, p.surface AS ps, o.surface AS os, g.surface AS gs,
+                 pr.surface AS prs, l.surface AS ls,
+                 p.surface || ' representing ' || o.surface || ' of ' || g.surface ||
+                   ' cited ' || pr.surface || ' of ' || l.surface || '.' AS sent
+          FROM plants pl
+          JOIN persons p ON p.idx = (pl.doc_id*7 + pl.j*13) % $nP
+          JOIN orgs o ON o.idx = (pl.doc_id*13 + pl.j*29) % $nO
+          JOIN gpes g ON g.idx = (pl.doc_id*11 + pl.j*17) % $nG
+          JOIN provisions pr ON pr.idx = (pl.doc_id*3 + pl.j*23) % $nPr
+          JOIN laws l ON l.idx = (pl.doc_id*5 + pl.j*19) % $nL),
+    occ AS (
+      SELECT doc_id, sent, ps AS surface, 'PERSON' AS label, 0 AS pos, length(ps) AS pos_end FROM s
+      UNION ALL SELECT doc_id, sent, os, 'ORG', $sOrg, $sOrg + length(os) FROM s
+      UNION ALL SELECT doc_id, sent, gs, 'GPE', $sGpe, $sGpe + length(gs) FROM s
+      UNION ALL SELECT doc_id, sent, prs, 'PROVISION', $sPr, $sPr + length(prs) FROM s
+      UNION ALL SELECT doc_id, sent, ls, 'LAW', $sLaw, $sLaw + length(ls) FROM s)
+    SELECT dd.url, o.surface, o.label, CAST(o.pos AS BIGINT) AS pos,
+      substr(o.sent, greatest(1, o.pos + 1 - $c),
+        least(o.pos_end + $c, length(o.sent)) - greatest(0, o.pos - $c)) AS context
+    FROM occ o JOIN docs dd ON dd.doc_id = o.doc_id"""
+  }
+
   /** Char-window fuzzy (J5) over the one-sentence corpus
     * (Fuzzy.fuzzyCharSegments): sentence length ≪ the 50-char window
     * minimum, so every step window spans the whole sentence and the
