@@ -30,7 +30,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 )
 // Benchmark JVMs commit+touch the whole heap up front (untimed) — this VM's
 // host makes first-touch page faults intermittently very slow, so a growing
-// heap injects noise into timed runs.
-javaOptions ++= (if (sys.env.get("SPARK_GRAFT_PRETOUCH").contains("1"))
-  Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}", "-XX:+AlwaysPreTouch")
+// heap injects noise into timed runs. DEFAULT-ON for every fork (Bench,
+// Verify, tests): round 2's driver-visible bench ran without it and recorded
+// a phantom 14× flagship regression from host page-fault stalls. Opt out
+// with SPARK_GRAFT_PRETOUCH=0. tmpfs spark.local.dir keeps block-device
+// jitter out of shuffle writes for the same reason (explicit .config in
+// code still wins over the -D).
+javaOptions ++= (if (!sys.env.get("SPARK_GRAFT_PRETOUCH").contains("0"))
+  Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}", "-XX:+AlwaysPreTouch",
+    "-Dspark.local.dir=/dev/shm/graft-spark")
 else Nil)

@@ -36,7 +36,9 @@ object ScalingBench {
     val spark = session(cpus)
     try {
       val t0 = System.nanoTime()
-      graft.pipeline.Pipeline.triplesAmplified(spark, sfDir, amplify).toDF().count()
+      // flagshipCount unpersists the rep's mention cache — interleaved reps
+      // in one JVM must not accumulate cached Datasets
+      graft.pipeline.Pipeline.flagshipCount(spark, sfDir, amplify)
       (System.nanoTime() - t0) / 1e9
     } finally spark.stop()
   }

@@ -212,6 +212,32 @@ object SparkEntry {
           round(col("score") * 1000).cast("long").as("score_milli"))
     }),
 
+    // --- O7 ensemble union + cross-extractor overlap resolution -----------
+    // exact automaton ∪ token-fuzzy person pass → per-segment totalized
+    // leftmost-longest; same-span case-twin ties (g5) resolve to the
+    // lexicographically smallest surface (Oracle.qEnsemble mirrors)
+    "q_ensemble" -> ((s, dir) => {
+      import graft.model.Gazetteer
+      graft.verify.CorpusAsserts.assertPlantSafe(s, dir)
+      val segs = Pipeline.segments(s, dir)
+      val exact = graft.mentions.Mentions.scan(segs, Gazetteer.all.toArray)
+      val fuzzy = graft.fuzzy.Fuzzy.scan(segs, Gazetteer.persons.map(_ -> "PERSON").toArray)
+      graft.mentions.Mentions.resolveAcrossExtractors(exact.unionByName(fuzzy)).toDF()
+        .groupBy(col("url"), col("surface"), col("label"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // --- M4 GLiNER sliding windows (20/10 + rebase) over long segments ----
+    "q_gliner_windows" -> ((s, dir) => {
+      import graft.model.Gazetteer
+      graft.fuzzy.Fuzzy.scanWindowed(graft.fuzzy.Fuzzy.fuzzySegments(s, dir),
+          Gazetteer.persons.map(_ -> "PERSON").toArray).toDF()
+        .select(col("url").cast("long").as("doc_id"), col("surface"),
+          col("start").cast("long").as("pos"),
+          col("end").cast("long").as("pos_end"),
+          round(col("score") * 1000).cast("long").as("score_milli"))
+    }),
+
     // --- char-window fuzzy pass (J5) over one-sentence segments -----------
     "q_fuzzy_char" -> ((s, dir) => {
       import graft.model.Gazetteer
@@ -240,11 +266,22 @@ object SparkEntry {
       // triple pipeline for it
       val triples = Pipeline.triples(s, dir).cache()
       try {
-        Materialize.writeTriples(triples, out, nBuckets = 16)
+        // A11 rider: the write is instrumented with per-partition metric
+        // rows; their rows_out total must equal the lineage row total (the
+        // two provenance surfaces can never drift).
+        val acc = Materialize.newMetricsAcc(s, "q_lineage_metrics")
+        Materialize.writeTriples(
+          Materialize.instrumented(triples, "write0", acc), out, nBuckets = 16)
         // resume semantics in the wired path: a second invocation sees every
         // bucket in the lineage table and must write NOTHING new
         val second = Materialize.writeTriples(triples, out, nBuckets = 16, batchId = 1)
         require(second.isEmpty, s"resume skip failed: rewrote ${second.size} buckets")
+        import scala.jdk.CollectionConverters._
+        val metricRows = acc.value.asScala.filter(_.stage == "write0").map(_.rows_out).sum
+        val lineageRows = Materialize.readLineage(s, out)
+          .agg(coalesce(sum(col("n_rows")), lit(0L))).first().getLong(0)
+        require(metricRows == lineageRows,
+          s"A11 metric rows ($metricRows) != lineage rows ($lineageRows)")
       } finally triples.unpersist()
       Materialize.readLineage(s, out)
         .groupBy(col("bucket")).agg(sum(col("n_rows")).as("n_rows"))
@@ -260,7 +297,11 @@ object SparkEntry {
     // --- similarity search ----------------------------------------------
     "q_ann_topk" -> ((s, dir) => Ann.bruteTopK(Ann.embeddings(s, dir))),
     // scale path driver-verified against the brute all-pairs DuckDB oracle:
-    // banding must achieve total recall on this corpus for the hash to match
+    // banding must achieve total recall on this corpus for the hash to
+    // match. CORPUS-specific, not structural: SRP banding has a ~0.9%
+    // worst-case miss at cos=0.99; valid here because every qualifying pair
+    // is a planted near-identical variant — AnnSpec's margin test
+    // ("gate validity") fails first if a borderline pair ever appears
     "q_ann_lsh" -> ((s, dir) => Ann.lshPairs(Dedup.embCorpus(s, dir), minCos = 0.99)),
 
     // --- text analysis ---------------------------------------------------
@@ -309,6 +350,8 @@ object SparkEntry {
     "q_date_mentions" -> Oracle.qDateMentions,
     "q_fuzzy" -> Oracle.qFuzzy,
     "q_fuzzy_char" -> Oracle.qFuzzyChar,
+    "q_ensemble" -> Oracle.qEnsemble,
+    "q_gliner_windows" -> Oracle.qGlinerWindows,
     "q_domain_stats" -> Oracle.qDomainStats,
     "q_lineage" -> Oracle.qLineage,
     "q_dedup_exact" -> OracleOps.qDedupExact,

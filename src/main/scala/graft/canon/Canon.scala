@@ -35,12 +35,16 @@ object Canon {
     *
     * Tokens whose block exceeds `maxBlock` surfaces are DROPPED as blocking
     * keys (the standard stop-token cap: a shared first name held by millions
-    * of surfaces makes the per-token block quadratic at 100× scale; pairs
-    * similar only through a hot token are below the overlap threshold anyway
-    * once names are long). The cap is mirrored in the DuckDB oracle
-    * (Oracle.canonCtes) so engine and oracle move together at every SF;
-    * verification still scores FULL word arrays — only candidate generation
-    * is capped.
+    * of surfaces makes the per-token block quadratic at 100× scale). The cap
+    * is a KNOWN recall sacrifice, not a free optimization: a pair whose only
+    * shared tokens are hot can still satisfy the Levenshtein-ratio or
+    * equal-sim_key predicate, and such pairs are silently lost when the cap
+    * triggers (word-overlap-only pairs are safe — overlap through hot tokens
+    * alone sits below the 0.65 threshold for long names). CanonSpec
+    * ("stop-token cap sacrifices…") documents the behavior. The cap is
+    * mirrored in the DuckDB oracle (Oracle.canonCtes) so engine and oracle
+    * move together at every SF; verification still scores FULL word arrays —
+    * only candidate generation is capped.
     */
   def similarityEdges(stats: DataFrame, maxBlock: Long = Config.MaxTokenBlock): DataFrame = {
     val toks = stats.select(col("surface"), col("sim_key"), col("words"))
@@ -69,11 +73,13 @@ object Canon {
     * k=12 min-hashes → 4 bands of 3 → equi-self-join on (band, key) →
     * verification with the same reference thresholds as [[similarityEdges]].
     * At corpus scale this bounds candidate pairs by band-bucket sizes where
-    * token blocking would hot-spot on stop-word-ish tokens; md5 is used for
-    * hashing so the DuckDB oracle reproduces signatures exactly (swap for
-    * xxhash64 outside the sandbox — plan shape unchanged).
+    * token blocking would hot-spot on stop-word-ish tokens. Default md5
+    * hashing keeps the DuckDB oracle byte-exact; `hashFn = "xxhash64"`
+    * (Config.MinHashFn) is the production path — long signatures, same plan
+    * shape; structural equivalences spec-asserted in DedupSpec (band recall
+    * near the similarity threshold is family-dependent by nature).
     */
-  def minhashEdges(stats: DataFrame): DataFrame = {
+  def minhashEdges(stats: DataFrame, hashFn: String = Config.MinHashFn): DataFrame = {
     import graft.model.Config.{MinHashBands, MinHashK, MinHashRows}
     val sh = stats.select(col("surface"), col("sim_key"))
       .withColumn("s", explode(expr(
@@ -81,15 +87,24 @@ object Canon {
     val seeds = (0 until MinHashK).map(lit(_))
     val sigCols = (0 until MinHashK).map(i =>
       min(when(col("sd") === i, col("h"))).as(s"h$i"))
+    val hashCol = hashFn match {
+      case "md5"      => md5(concat(col("sd").cast("string"), lit(":"), col("s")))
+      case "xxhash64" => xxhash64(col("sd"), col("s"))
+      case other      => throw new IllegalArgumentException(s"unknown minhash family: $other")
+    }
+    def bandKey(b: Int): org.apache.spark.sql.Column = {
+      val cols = (0 until MinHashRows).map(i => col(s"h${b * MinHashRows + i}"))
+      if (hashFn == "md5") concat(cols: _*) // oracle-mirrored (qCanonMinhash)
+      else concat_ws(":", cols.map(_.cast("string")): _*)
+    }
     val sig = sh.select(col("surface"), explode(array(seeds: _*)).as("sd"), col("s"))
       .groupBy(col("surface"), col("sd"))
-      .agg(min(md5(concat(col("sd").cast("string"), lit(":"), col("s")))).as("h"))
+      .agg(min(hashCol).as("h"))
       .groupBy(col("surface"))
       .agg(sigCols.head, sigCols.tail: _*)
     val bands = sig.select(col("surface"), explode(array(
       (0 until MinHashBands).map(b =>
-        struct(lit(b).as("band"),
-          concat((0 until MinHashRows).map(i => col(s"h${b * MinHashRows + i}")): _*).as("key"))): _*
+        struct(lit(b).as("band"), bandKey(b).as("key"))): _*
     )).as("bk"))
       .select(col("surface"), col("bk.band"), col("bk.key"))
     val cand = bands.as("x").join(bands.as("y"),
@@ -112,70 +127,145 @@ object Canon {
   }
 
   /** Connected components over an undirected string-keyed edge list, pure
-    * DataFrame iteration (no GraphX — north_rule): iterative min-label
-    * propagation, `localCheckpoint` per round to cut lineage, converges in
-    * O(diameter) rounds. `vertices` must include isolated nodes.
+    * DataFrame iteration (no GraphX — north_rule). Distributed path:
+    * alternating large-star/small-star rounds (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14 — the SURVEY §2.7 C1
+    * prescription), which converges in O(log n) rounds where plain min-label
+    * propagation needs O(diameter) — the difference between 14 and 10,000
+    * rounds on a long alias chain. `vertices` must include isolated nodes.
     * Returns (surface, component) with component = lexicographic min member.
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25,
-      localThreshold: Long = 100000L, hubDegree: Long = 1024L): DataFrame = {
+      localThreshold: Long = 100000L, hubDegree: Long = 1024L): DataFrame =
+    connectedComponentsWithRounds(vertices, edges, maxIter, localThreshold, hubDegree)._1
+
+  /** [[connectedComponents]] plus the number of distributed rounds executed
+    * (0 on the driver-local fast path) — exposed so the O(log n) round bound
+    * is spec-assertable (CanonSpec chain-graph case).
+    */
+  def connectedComponentsWithRounds(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 25, localThreshold: Long = 100000L,
+      hubDegree: Long = 1024L): (DataFrame, Int) = {
+    // Materialize the (possibly expensive — e.g. a banded similarity
+    // self-join) edge input ONCE: the size gate, the local collect()/first
+    // distributed round would otherwise each re-run the edge pipeline.
+    // localCheckpointFresh, not Dataset.localCheckpoint: Spark 4 propagates
+    // estimated stats through checkpoints, and in an iterative join loop
+    // sizeInBytes SQUARES per round until the driver melts down in
+    // BigInteger stats arithmetic — see GraftSqlShims.localCheckpointFresh.
+    val ck = org.apache.spark.sql.GraftSqlShims.localCheckpointFresh _
+    val vs = ck(vertices.select(col("surface")))
+    val es = ck(edges.select(col("a"), col("b")))
     // Adaptive fast path (same spirit as Spark's broadcast-join threshold):
     // a dimension-sized graph is solved with driver-local union-find — the
     // iterative rounds below cost several scheduler round-trips that dwarf
     // the work when |V| is tiny. Identical output (component = min member).
     // Gated on BOTH vertex and edge count — a 100k-vertex similarity graph
     // can carry O(V²) edges, which must never be collect()ed.
-    if (vertices.count() <= localThreshold && edges.count() <= localThreshold)
-      return ccLocal(vertices, edges)
+    if (vs.count() <= localThreshold && es.count() <= localThreshold)
+      return (ccLocal(vs, es), 0)
     // Edges referencing endpoints absent from `vertices` are ignored — the
     // exact semantics of ccLocal's parent.contains guard, enforced here so
     // the two paths can never diverge.
-    val vs = vertices.select(col("surface"))
-    val known = edges
+    val known = es
       .join(vs.withColumnRenamed("surface", "a"), Seq("a"), "left_semi")
       .join(vs.withColumnRenamed("surface", "b"), Seq("b"), "left_semi")
-    val sym = known.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(known.select(col("b").as("src"), col("a").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    // Hub split (north_star "salted, AQE-rebalanced" CC): a mega-component
-    // hub vertex would land its entire adjacency on one reducer in the
-    // src-keyed label join. High-out-degree sources instead take a
-    // BROADCAST label join — their edges never shuffle on src; the hub
-    // label set is tiny by construction (degree > hubDegree).
-    val hubs = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .filter(col("deg") > hubDegree).select(col("src"))
-      .localCheckpoint(true)
-    val symHub = sym.join(hubs, Seq("src"), "left_semi").localCheckpoint(true)
-    val symCold = sym.join(hubs, Seq("src"), "left_anti").localCheckpoint(true)
-    var labels = vertices.select(col("surface"), col("surface").as("component"))
-      .localCheckpoint(true)
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      val hubLabels = labels
-        .join(hubs.withColumnRenamed("src", "surface"), Seq("surface"), "left_semi")
-      val propagated = symCold
-        .join(labels, symCold("src") === labels("surface"))
-        .select(col("dst").as("surface"), col("component"))
-        .unionByName(symHub
-          .join(broadcast(hubLabels), symHub("src") === hubLabels("surface"))
-          .select(col("dst").as("surface"), col("component")))
-      // min is map-side combinable, so a hub as DST partial-aggregates
-      // before the shuffle — no reducer hot-spot on the receive side either.
-      val next = labels.unionByName(propagated)
-        .groupBy(col("surface"))
-        .agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
-      // One driver action per round (count of changed labels) — batched,
-      // not per-row chatter (SURVEY §7.6 risk 5).
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "surface")
-        .filter(col("component") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
-      iter += 1
+    // Canonical undirected pair set (a < b), self-loops dropped.
+    var pairs = ck(known
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    var rounds = 0
+    // Fixpoint detection via an order-independent edge-set checksum
+    // (count + bit_xor of xxhash64(a,b)): ONE tiny driver action per round
+    // on the already-checkpointed pair set, instead of a two-legged
+    // except/union job (SURVEY §7.6 risk 5 — batched driver actions).
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).first()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    labels
+    var sig = checksum(pairs)
+    var converged = sig._1 == 0L
+    while (!converged && rounds < maxIter) {
+      // Large-star: every node u links its strictly-larger neighbors to
+      // m(u) = min(Γ(u) ∪ {u}). Small-star: u links its ≤ neighbors and
+      // itself to m(u). Alternating the two is the published O(log n)
+      // scheme; the fixpoint is a star forest centered at component minima.
+      val tR = System.nanoTime()
+      val afterLarge = largeStar(pairs, hubDegree)
+      val tL = System.nanoTime()
+      val next = smallStar(afterLarge, hubDegree)
+      val tS = System.nanoTime()
+      val nextSig = checksum(next)
+      converged = nextSig == sig
+      sig = nextSig
+      pairs = next
+      rounds += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] round $rounds large=${(tL - tR) / 1e9}%.2fs small=${(tS - tL) / 1e9}%.2fs " +
+          f"check=${(System.nanoTime() - tS) / 1e9}%.2fs n=${nextSig._1} planLines=${next.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size}")
+    }
+    // Fixpoint is a star forest: every pair is (component-min, member).
+    val labels = vs
+      .join(pairs.select(col("b").as("surface"), col("a").as("component")), Seq("surface"), "left")
+      .select(col("surface"), coalesce(col("component"), col("surface")).as("component"))
+    (labels, rounds)
+  }
+
+  /** Per-source neighborhood minimum m(src) = min(Γ(src) ∪ {src}) and the
+    * degree, joined back onto the symmetric edge list. The min/count agg is
+    * map-side combinable (no reducer hot-spot); the join back is hub-split:
+    * sources with degree > hubDegree take a BROADCAST m-join so a
+    * mega-component hub never lands its whole adjacency on one reducer
+    * (north_star "salted, AQE-rebalanced" CC).
+    */
+  private def withNbrMin(sym: DataFrame, hubDegree: Long): (DataFrame, DataFrame) = {
+    // cache (lazy), not an eager checkpoint: m is consumed 2-3× inside one
+    // star op and discarded — no extra materialization job, and lineage is
+    // already cut at the per-round pair checkpoints
+    val m = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"), count(lit(1)).as("deg"))
+      .select(col("src"), least(col("mn"), col("src")).as("m"), col("deg"))
+      .cache()
+    val hubs = m.filter(col("deg") > hubDegree).select(col("src"), col("m"))
+    val symCold = sym.join(hubs.select(col("src")), Seq("src"), "left_anti")
+    val symHub = sym.join(hubs.select(col("src")), Seq("src"), "left_semi")
+    val joined = symCold.join(m.select(col("src"), col("m")), "src")
+      .unionByName(symHub.join(broadcast(hubs), "src"))
+    (joined, m)
+  }
+
+  private def symmetrize(pairs: DataFrame): DataFrame =
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+
+  /** One large-star round: emit (v, m(u)) for every neighbor v > u. Output
+    * is canonical pairs (min, max), checkpointed (iterative lineage cut).
+    */
+  private def largeStar(pairs: DataFrame, hubDegree: Long): DataFrame = {
+    val (symM, m) = withNbrMin(symmetrize(pairs), hubDegree)
+    val out = org.apache.spark.sql.GraftSqlShims.localCheckpointFresh(
+      symM.filter(col("dst") > col("src"))
+        .select(col("m").as("a"), col("dst").as("b")) // m ≤ src < dst
+        .filter(col("a") =!= col("b"))
+        .distinct())
+    m.unpersist(false)
+    out
+  }
+
+  /** One small-star round: emit (v, m(u)) for every neighbor v < u plus
+    * (u, m(u)) itself. All output edges point downward to local minima.
+    */
+  private def smallStar(pairs: DataFrame, hubDegree: Long): DataFrame = {
+    val (symM, m) = withNbrMin(symmetrize(pairs), hubDegree)
+    val out = org.apache.spark.sql.GraftSqlShims.localCheckpointFresh(
+      symM.filter(col("dst") < col("src"))
+        .select(col("m").as("a"), col("dst").as("b")) // m ≤ dst by definition
+        .unionByName(m.select(col("m").as("a"), col("src").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct())
+    m.unpersist(false)
+    out
   }
 
   /** Pair-level evaluation of a canonicalization vs golden alias groups —
@@ -185,18 +275,21 @@ object Canon {
     * surfaces present in the prediction), all counts integer.
     */
   def pairEval(canonMap: DataFrame, golden: DataFrame): DataFrame = {
+    // Pure size arithmetic — a cluster of n surfaces holds n·(n−1)/2 pairs,
+    // so every count comes from group sizes, never a within-cluster
+    // self-join (which is quadratic in the largest cluster: one 10⁶-member
+    // mega-cluster would materialize 5·10¹¹ rows). Valid because canonMap
+    // has one row per surface and golden groups are disjoint; correct pairs
+    // = pairs agreeing on BOTH keys = Σ over (canonical, group_id) cells.
     val cm = canonMap.select(col("surface"), col("canonical"))
-    val pred = cm.as("x").join(cm.as("y"),
-        col("x.canonical") === col("y.canonical") && col("x.surface") < col("y.surface"))
-      .select(col("x.surface").as("a"), col("y.surface").as("b"))
     val g = golden.join(cm.select(col("surface")), "surface")
-    val gold = g.as("x").join(g.as("y"),
-        col("x.group_id") === col("y.group_id") && col("x.surface") < col("y.surface"))
-      .select(col("x.surface").as("a"), col("y.surface").as("b"))
-    val correct = pred.intersect(gold)
-    pred.agg(count(lit(1)).as("n_pred_pairs"))
-      .crossJoin(gold.agg(count(lit(1)).as("n_gold_pairs")))
-      .crossJoin(correct.agg(count(lit(1)).as("n_correct_pairs")))
+    val cells = cm.join(golden, "surface")
+    def sumPairs(df: DataFrame, alias: String, keys: Seq[String]): DataFrame =
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as(alias))
+    sumPairs(cm, "n_pred_pairs", Seq("canonical"))
+      .crossJoin(sumPairs(g, "n_gold_pairs", Seq("group_id")))
+      .crossJoin(sumPairs(cells, "n_correct_pairs", Seq("canonical", "group_id")))
   }
 
   /** Surface dimension (surface, sim_key, words) from a static list — used

@@ -8,11 +8,14 @@ import graft.model.Config
   * (hash-groupBy), n-gram Jaccard similarity join, MinHash+LSH banded join,
   * SimHash fingerprinting, embedding-cosine near-dup.
   *
-  * All hashing is md5-based so the DuckDB oracle reproduces results exactly
-  * (md5 hex strings compare identically in both engines; a lexicographic min
-  * of hashes is a valid MinHash). At cluster scale the md5 minhash swaps for
-  * `xxhash64` one-liner — the plan shape (explode → band → join → verify) is
-  * the part that matters.
+  * Default hashing is md5-based so the DuckDB oracle reproduces results
+  * exactly (md5 hex strings compare identically in both engines; a
+  * lexicographic min of hashes is a valid MinHash). The production hash
+  * family is selectable (Config.MinHashFn = "xxhash64"): 8-byte long
+  * signatures instead of 32-byte hex strings in the shuffle, same plan
+  * shape; DedupSpec asserts the structural equivalences (precision, planted
+  * recall, recall floor — band recall near the threshold is family-
+  * dependent by nature).
   */
 object Dedup {
 
@@ -106,26 +109,39 @@ object Dedup {
   /** MinHash signatures, one row per doc: k=12 min aggregates computed in a
     * SINGLE groupBy — no seed explode (round 1 shuffled every shingle 12×
     * through an exploded (doc, seed) key and needed a second groupBy to
-    * pivot). Each `min(md5(i || ':' || s))` is codegen'd and map-side
-    * combinable; the only shuffle is one row of 12 strings per doc.
+    * pivot). Each `min(hash(i, s))` is codegen'd and map-side combinable;
+    * the only shuffle is one row of 12 values per doc. `hashFn` selects the
+    * family (Config.MinHashFn): md5 hex strings for oracle parity, xxhash64
+    * longs for production shuffle width.
     */
-  def minhashSignature(sh: DataFrame): DataFrame = {
-    val sigCols = (0 until Config.MinHashK).map(i =>
-      min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
+  def minhashSignature(sh: DataFrame, hashFn: String = Config.MinHashFn): DataFrame = {
+    val sigCols = (0 until Config.MinHashK).map(i => min(seedHash(i, hashFn)).as(s"h$i"))
     sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  private def seedHash(i: Int, hashFn: String): org.apache.spark.sql.Column = hashFn match {
+    case "md5"      => md5(concat(lit(s"$i:"), col("s")))
+    case "xxhash64" => xxhash64(lit(i), col("s"))
+    case other      => throw new IllegalArgumentException(s"unknown minhash family: $other")
   }
 
   /** LSH candidates: band keys = concat of r=3 adjacent signature slots;
     * pairs sharing any band key. The banded self-join is the scale path —
     * candidate count is bounded by bucket sizes, never all-pairs.
     */
-  def minhashCandidates(sh: DataFrame): DataFrame = {
+  def minhashCandidates(sh: DataFrame, hashFn: String = Config.MinHashFn): DataFrame = {
     val r = Config.MinHashRows
-    val sig = minhashSignature(sh)
+    val sig = minhashSignature(sh, hashFn)
+    def bandKey(b: Int): org.apache.spark.sql.Column = {
+      val cols = (0 until r).map(i => col(s"h${b * r + i}"))
+      // md5 keeps the bare hex concat (oracle-mirrored, qCanonMinhash);
+      // longs need a separator so (1, 23) never collides with (12, 3)
+      if (hashFn == "md5") concat(cols: _*)
+      else concat_ws(":", cols.map(_.cast("string")): _*)
+    }
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until Config.MinHashBands).map(b =>
-        struct(lit(b).as("band"),
-          concat((0 until r).map(i => col(s"h${b * r + i}")): _*).as("key"))): _*
+        struct(lit(b).as("band"), bandKey(b).as("key"))): _*
     )).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
     bands.as("x").join(bands.as("y"),
@@ -136,9 +152,9 @@ object Dedup {
   }
 
   /** MinHash LSH near-dup: banded candidates verified with exact Jaccard. */
-  def minhashLsh(corpus: DataFrame): DataFrame = {
+  def minhashLsh(corpus: DataFrame, hashFn: String = Config.MinHashFn): DataFrame = {
     val sh = shingles(corpus)
-    jaccardVerify(sh, minhashCandidates(sh))
+    jaccardVerify(sh, minhashCandidates(sh, hashFn))
   }
 
   /** SimHash (64-bit) per doc over the distinct-token set: bit b of a token

@@ -3,10 +3,33 @@ package graft.functions
 /** Deterministic natural-language date grammar — the engine-side replacement
   * of the reference's `dateparser.search_dates` calls
   * (src/methods/DateParser.py:45, Spanish variant at
-  * src/methods/MultipleEntityExtractor.py:61-63). Covers the shapes the
-  * reference corpus uses: ISO, "12 January 2021", "January 12, 2021",
-  * "12 de enero de 2021" (es), "12/01/2021". Pure function → usable from
-  * column pipelines (UDF) or typed maps; no locale lookups, no wall clock.
+  * src/methods/MultipleEntityExtractor.py:61-63). Pure function → usable
+  * from column pipelines (UDF) or typed maps; no locale lookups, no wall
+  * clock.
+  *
+  * Grammar boundary — a stated contract, not an accident (the deterministic
+  * subset of `dateparser`; DatesSpec "deliberately-uncovered shapes"):
+  *
+  * | shape                      | example               | covered |
+  * |----------------------------|-----------------------|---------|
+  * | ISO                        | 2021-03-09            | yes     |
+  * | D/M/Y, D.M.Y (4-digit yr)  | 09/03/2021            | yes     |
+  * | D Month Y (en)             | 9 March 2021          | yes     |
+  * | Month D, Y (en)            | March 9, 2021         | yes     |
+  * | D de mes de Y (es)         | 9 de marzo de 2021    | yes     |
+  * | relative (en/es)           | two weeks ago /       | NO      |
+  * |                            | hace dos semanas      |         |
+  * | bare year                  | 2021                  | NO      |
+  * | month-year                 | March 2021            | NO      |
+  * | day-month, no year         | 12 January            | NO      |
+  * | 2-digit year               | 01/02/21              | NO      |
+  * | weekday phrases            | last Tuesday          | NO      |
+  *
+  * Relative/underspecified shapes require a reference clock ("now") —
+  * exactly what a deterministic, replayable engine must not consult; the
+  * reference's `dateparser.search_dates` resolves them against wall time,
+  * producing run-dependent output. Uncovered shapes parse to None and are
+  * dropped by the F4 parse-success filter.
   */
 object Dates {
 
@@ -121,6 +144,10 @@ object Dates {
     */
   def dateCorpus(spark: org.apache.spark.sql.SparkSession, sfDir: String)
       : org.apache.spark.sql.DataFrame = {
+    // qDateMentions' position arithmetic assumes the base corpus is
+    // digit-free (the only grammar matches are the plants) — fail fast
+    // otherwise (memoized; see CorpusAsserts).
+    graft.verify.CorpusAsserts.assertPlantSafe(spark, sfDir)
     val id = F.col("doc_id")
     val y1 = (F.lit(2000) + id % 26).cast("int")
     val m1 = (id % 12 + 1).cast("int")

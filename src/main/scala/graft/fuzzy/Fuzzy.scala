@@ -175,6 +175,14 @@ object Fuzzy {
     * strict-best per window (first wins ties); accepted ranges suppress
     * overlapping later windows; final pass drops matches overlapping a kept
     * match by more than 50 % of the shorter length.
+    *
+    * Known divergence: [[ratio]] omits difflib's autojunk heuristic, while
+    * the reference scores with `SequenceMatcher(None, a, b)` (autojunk ON).
+    * Autojunk only activates when the SECOND argument — here the normalized
+    * candidate, bounded by window length ≤ 500 — reaches 200+ chars, i.e.
+    * for entities longer than ~180 chars; scores can then differ from
+    * CPython's. Harmless for realistic entity surfaces (the gazetteer tops
+    * out at 21 chars) but a stated fidelity boundary of the general API.
     */
   def charWindowMatches(text: String, entity: String,
       threshold: Double = Config.FuzzyWindowThreshold): List[FuzzyMatch] = {
@@ -370,6 +378,10 @@ object Fuzzy {
   def fuzzySegments(spark: org.apache.spark.sql.SparkSession, sfDir: String): Dataset[Segment] = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    // Plant-arithmetic oracle precondition (digit-free, bigram-free base
+    // corpus) — fail fast on a corpus where qFuzzy/qGlinerWindows would
+    // silently hash-mismatch. Memoized: one scan per session.
+    graft.verify.CorpusAsserts.assertPlantSafe(spark, sfDir)
     val nP = graft.model.Gazetteer.persons.length
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
@@ -408,6 +420,28 @@ object Fuzzy {
         }
         Segment(id.toString, 0, 0, "Text", s"Witness: $v.")
       }
+  }
+
+  /** Distributed M4 windowed token scan (the GLiNER 20/10 window + rebase
+    * shape at scale): same narrow broadcast-mapPartitions shape as [[scan]],
+    * running [[windowedTokenScan]] per (segment, entity). Offsets are in the
+    * JOINED-token coordinate system — the reference's coordinates after its
+    * own `last_slide_end_index` rebase (GLiNERModel.py:56-95).
+    */
+  def scanWindowed(segments: Dataset[Segment], entities: Array[(String, String)],
+      threshold: Double = Config.TokenFuzzyThreshold): Dataset[Mention] = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(entities)
+    segments.mapPartitions { it =>
+      val ents = bc.value
+      it.flatMap { seg =>
+        ents.iterator.flatMap { case (surface, label) =>
+          windowedTokenScan(seg.text, surface, threshold).map(m =>
+            Mention(seg.url, seg.page, seg.seg_no, surface, label, m.start, m.end, m.score))
+        }
+      }
+    }
   }
 
   /** Distributed char-window fuzzy scan (J5 at scale): same narrow shape as

@@ -82,9 +82,16 @@ object Mentions {
     * sort by (start asc, length desc), keep a span iff it starts at/after
     * the last kept end. Pure list-local: applied inside the scan stage (no
     * shuffle) or per-group via [[resolveAcrossExtractors]].
+    *
+    * The reference's Python sort is stable on INPUT order, which makes
+    * identical-span ties order-dependent — unacceptable once mentions from
+    * independent extractors union through a shuffle (row order is not
+    * deterministic). The sort key is therefore totalized with (label,
+    * surface): same-span ties resolve to the lexicographically smallest
+    * surface, deterministically, on any input permutation.
     */
   def resolveOverlaps(ms: List[Mention]): List[Mention] = {
-    val sorted = ms.sortBy(m => (m.start, -(m.end - m.start)))
+    val sorted = ms.sortBy(m => (m.start, -(m.end - m.start), m.label, m.surface))
     var lastEnd = -1
     sorted.filter { m =>
       if (m.start >= lastEnd) { lastEnd = m.end; true } else false

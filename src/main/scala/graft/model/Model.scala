@@ -102,6 +102,17 @@ object Config {
   val MinHashBands = 4
   val MinHashRows: Int = MinHashK / MinHashBands
 
+  /** Hash family for MinHash signatures: "md5" (hex VARCHAR — exactly
+    * reproducible in the DuckDB oracle, the gate default) or "xxhash64"
+    * (8-byte longs — the production shuffle payload: 12 longs/row instead
+    * of 12×32-byte strings). The plan shape is identical; DedupSpec asserts
+    * what is structural across families (precision, recall of equal-shingle
+    * plants, a recall floor) and documents that band recall NEAR the
+    * threshold is family-dependent. Overridable per-JVM via
+    * -Dgraft.minhash.fn=xxhash64.
+    */
+  def MinHashFn: String = sys.props.getOrElse("graft.minhash.fn", "md5")
+
   /** Near-dup n-gram Jaccard threshold. */
   val JaccardThreshold = 0.8
 

@@ -72,4 +72,19 @@ object Pipeline {
     val prov = Relations.mentionedIn(ms, Canon.canonicalMap(ms))
     cooc.unionByName(prov)
   }
+
+  /** Terminal flagship action for benchmarking: counts the amplified triples
+    * and unpersists the run's mention cache afterwards, so repeated reps in
+    * one JVM (Bench min-of-3, ScalingBench interleaving) don't accumulate
+    * cached Datasets across iterations.
+    */
+  def flagshipCount(spark: SparkSession, sfDir: String, factor: Int): Long = {
+    val pages = Pages.synthesizeAmplified(spark, sfDir, factor)
+    val ms = Mentions.scanWithRecall(Extract.segments(pages), Gazetteer.all.toArray).cache()
+    try {
+      val cooc = Relations.cooccurrence(ms)
+      val prov = Relations.mentionedIn(ms, Canon.canonicalMap(ms))
+      cooc.unionByName(prov).toDF().count()
+    } finally ms.unpersist()
+  }
 }

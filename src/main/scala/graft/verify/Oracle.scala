@@ -527,6 +527,34 @@ object Oracle {
     import graft.functions.Text
     val nP = Gazetteer.persons.length
     val thr = Config.FuzzyWindowThreshold
+    // This oracle enumerates candidates over the WHOLE sentence, which is
+    // the engine's J5 semantics only while (a) every (entity, variant) pair
+    // admits exactly one step position (text − entity < step) and (b) that
+    // step-0 window spans the whole sentence (entity + win/2 ≥ text). Both
+    // hold with ~2 chars of margin on the current gazetteer; a new longer
+    // or shorter person surface would silently restore multi-window /
+    // suppression semantics and diverge — fail the build instead (mirrors
+    // qFuzzy's ≤4-token guard).
+    for {
+      st <- 0 to 2
+      p <- Gazetteer.persons
+      v = st match {
+        case 0 => p.toLowerCase(java.util.Locale.ROOT)
+        case 1 => p.replaceFirst(" ", ", ")
+        case _ => p.toUpperCase(java.util.Locale.ROOT)
+      }
+      text = s"Witness: $v."
+      e <- Gazetteer.persons
+      entLen = Text.normWs(e).length
+      if entLen <= text.length
+    } {
+      val win = math.max(50, math.min(500, (entLen * 2.5).toInt))
+      val step = math.max(1, win / 2)
+      require(text.length - entLen < step,
+        s"qFuzzyChar single-window precondition broken: '$e' in '$text' has >1 step position")
+      require(entLen + win / 2 >= text.length,
+        s"qFuzzyChar coverage precondition broken: window for '$e' does not span '$text'")
+    }
     val rows = for {
       pi <- Gazetteer.persons.indices
       st <- 0 to 2
@@ -702,6 +730,81 @@ object Oracle {
       CAST(d.base_len + 10 + m.off_e AS BIGINT) AS pos_end,
       CAST(1000 AS BIGINT) AS score_milli
     FROM d JOIN m ON m.pidx = d.pidx AND m.style = d.style"""
+  }
+
+  /** O7 ensemble union + cross-extractor overlap resolution: the exact
+    * automaton's mentions ∪ the token-fuzzy person pass, resolved per
+    * segment with the totalized leftmost-longest rule
+    * (Mentions.resolveAcrossExtractors). On the planted corpus the union
+    * differs from the exact scan in exactly one way: the fuzzy pass also
+    * emits every person whose lowercase token sequence equals the planted
+    * person's (the g5 case pair), creating a same-span tie that resolution
+    * breaks to the lexicographically smallest surface — so the expected
+    * output is qMentions with surfaces rewritten through that
+    * case-canonical map, computed here independently at SQL-build time.
+    * (Prefix-subset fuzzy matches — "Carlos Mendez" inside "Carlos Mendez
+    * Rivera" — lose on length, changing nothing.) Precondition (base corpus
+    * carries no person bigrams) is asserted by CorpusAsserts at run time.
+    */
+  val qEnsemble: String = {
+    def toks(s: String): Vector[String] =
+      graft.functions.Text.tokensWithPos(s).map(_._1)
+    val caseMap = Gazetteer.persons.groupBy(toks).values
+      .filter(_.size > 1)
+      .flatMap { grp => val m = grp.min; grp.filter(_ != m).map(_ -> m) }
+      .toSeq.sortBy(_._1)
+    require(caseMap.nonEmpty,
+      "qEnsemble expects ≥1 case-twin person pair (g5) — gazetteer changed?")
+    val values = caseMap
+      .map { case (v, m) => s"('${v.replace("'", "''")}', '${m.replace("'", "''")}')" }
+      .mkString(", ")
+    s"""WITH $baseCtes,
+    ensmap(surface, resolved) AS (VALUES $values)
+    SELECT dd.url, COALESCE(em.resolved, pm.surface) AS surface, pm.label, COUNT(*) AS n
+    FROM pm JOIN docs dd ON dd.doc_id = pm.doc_id
+    LEFT JOIN ensmap em ON em.surface = pm.surface AND pm.label = 'PERSON'
+    GROUP BY 1, 2, 3"""
+  }
+
+  /** M4 GLiNER sliding windows (20/10, last_slide_end_index rebase) over the
+    * planted-variant corpus: expected matches derived with the same
+    * independent exact-token matcher as qFuzzy (valid by the ≤4-token ⟺
+    * ratio-0.8 lemma), but positioned in JOINED-TOKEN coordinates — the
+    * coordinate system the reference rebases window-local offsets into.
+    * The base corpus is [a-z ] word soup (CorpusAsserts), so its joined
+    * length equals its char length; the plant " Witness: v." contributes
+    * " witness " = 9 chars before the variant's token stream, whose token
+    * sequence (hence match offsets) is style-independent.
+    */
+  val qGlinerWindows: String = {
+    val nP = Gazetteer.persons.length
+    def toks(s: String): Vector[String] =
+      graft.functions.Text.tokensWithPos(s).map(_._1)
+    require(Gazetteer.persons.forall(p => toks(p).length <= 4),
+      "qGlinerWindows' exact-token oracle requires <=4-token person surfaces")
+    val rows = for {
+      pi <- Gazetteer.persons.indices
+      vToks = toks(Gazetteer.persons(pi)) // same for all 3 case styles
+      e <- Gazetteer.persons
+      eToks = toks(e)
+      w <- 0 to vToks.length - eToks.length
+      if vToks.slice(w, w + eToks.length) == eToks
+    } yield {
+      val offS = vToks.take(w).map(_.length + 1).sum // +1 joining space each
+      val offE = offS + eToks.map(_.length).sum + (eToks.length - 1)
+      (pi, e, offS, offE)
+    }
+    val values = rows.map { case (pi, e, s, en) =>
+      s"($pi, '${e.replace("'", "''")}', $s, $en)"
+    }.mkString(", ")
+    s"""WITH norm AS (SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS text FROM documents),
+    m(pidx, surface, off_s, off_e) AS (VALUES $values),
+    d AS (SELECT doc_id, length(text) AS base_len, (doc_id * 7) % $nP AS pidx FROM norm)
+    SELECT d.doc_id, m.surface,
+      CAST(d.base_len + 9 + m.off_s AS BIGINT) AS pos,
+      CAST(d.base_len + 9 + m.off_e AS BIGINT) AS pos_end,
+      CAST(1000 AS BIGINT) AS score_milli
+    FROM d JOIN m ON m.pidx = d.pidx"""
   }
 
   /** Provenance triples with canonical subjects. */

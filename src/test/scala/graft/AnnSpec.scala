@@ -33,6 +33,27 @@ class AnnSpec extends SparkSpec {
     assert(pairs == brute, s"LSH≠brute: missed=${(brute -- pairs).size} extra=${(pairs -- brute).size}")
   }
 
+  test("q_ann_lsh gate validity: every qualifying pair sits far above the banding miss zone") {
+    // 4-band/8-plane SRP recall is probabilistic near the 0.99 threshold
+    // (~0.9% worst-case miss per pair at cos=0.99). The q_ann_lsh ≡ brute
+    // driver gate is therefore CORPUS-specific, valid because every
+    // qualifying pair here is a planted near-identical variant: assert the
+    // margin so a corpus change that introduces a borderline pair fails
+    // this spec instead of flaking the driver gate.
+    val e = Ann.withUnit(Dedup.embCorpus(spark, sfTiny))
+    val pairs = e.select(col("vec_id").as("a"), col("nv").as("na"))
+      .join(e.select(col("vec_id").as("b"), col("nv").as("nb")), col("a") < col("b"))
+      .select(col("a"), col("b"), Ann.unitDot("na", "nb").as("cos"))
+      .filter(col("cos") >= 0.99)
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getDouble(2) >= 0.999,
+        s"borderline pair (${r.getLong(0)}, ${r.getLong(1)}) at cos=${r.getDouble(2)} — " +
+          "q_ann_lsh's brute-oracle equivalence is no longer structurally safe")
+    }
+  }
+
   test("bucket strings are deterministic across runs") {
     val b1 = Ann.srpBuckets(Ann.embeddings(spark, sfTiny)).select("vec_id", "bucket")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

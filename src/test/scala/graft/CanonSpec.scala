@@ -99,6 +99,54 @@ class CanonSpec extends SparkSpec {
     assert(dist == local)
   }
 
+  test("large-star/small-star CC converges in O(log n) rounds on a 10k-vertex chain") {
+    import spark.implicits._
+    // A path graph is min-label propagation's worst case: the min travels
+    // one hop per round (10k rounds — silently wrong under maxIter=25).
+    // Alternating large-star/small-star halves chains every round.
+    val n = 10000
+    val verts = (0 until n).map(i => f"v$i%05d").toDF("surface")
+    val edges = (1 until n).map(i => (f"v${i - 1}%05d", f"v$i%05d")).toDF("a", "b")
+    val (labelsDf, rounds) = Canon.connectedComponentsWithRounds(
+      verts, edges, maxIter = 25, localThreshold = 0)
+    val labels = labelsDf.collect().map(r => r.getString(0) -> r.getString(1))
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == "v00000"), s"bad labels: ${labels.filter(_._2 != "v00000").take(3).toSeq}")
+    assert(rounds <= 20, s"chain took $rounds rounds — not O(log n)")
+  }
+
+  test("stop-token cap knowingly sacrifices Levenshtein-only pairs blocked by hot tokens") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // "de anna" / "de anne" pass the Levenshtein-ratio predicate (1 - 1/7 =
+    // 0.857 > 0.79) but share ONLY the token "de". When "de" is hot (its
+    // block exceeds the cap) the pair has no surviving blocking key and is
+    // dropped — a documented semantic deviation from the reference's
+    // ungated pairing (see similarityEdges scaladoc), traded for bounded
+    // candidate generation at corpus scale.
+    val surfaces = (0 until 38).map(i => f"de zzfiller$i%02d") ++ Seq("de anna", "de anne")
+    val dim = Canon.surfaceDim(spark, surfaces).withColumn("n_mentions", lit(1L))
+    val capped = Canon.similarityEdges(dim, maxBlock = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!capped.contains(("de anna", "de anne")), "pair should be sacrificed under the cap")
+    val uncapped = Canon.similarityEdges(dim, maxBlock = 1000)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(uncapped.contains(("de anna", "de anne")), "pair must exist without the cap")
+  }
+
+  test("pairEval stays aggregate-only: a 10k-member mega-cluster completes in bounded time") {
+    import spark.implicits._
+    // 10k surfaces in ONE predicted cluster = 49,995,000 pairs; materializing
+    // them (the old self-join) is what the size-arithmetic form avoids.
+    val n = 10000
+    val cm = (0 until n).map(i => (f"s$i%05d", "c")).toDF("surface", "canonical")
+    val golden = (0 until 100).map(i => (0, f"s$i%05d")).toDF("group_id", "surface")
+    val row = Canon.pairEval(cm, golden).collect().head
+    assert(row.getLong(row.fieldIndex("n_pred_pairs")) == n.toLong * (n - 1) / 2)
+    assert(row.getLong(row.fieldIndex("n_gold_pairs")) == 100L * 99 / 2)
+    assert(row.getLong(row.fieldIndex("n_correct_pairs")) == 100L * 99 / 2)
+  }
+
   test("similarityEdges drops hot blocking tokens but keeps other-token pairs") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -23,6 +23,18 @@ class DatesSpec extends AnyFunSuite {
     assert(Dates.parse("12 Smarch 2021").isEmpty)
   }
 
+  test("deliberately-uncovered shapes return None (documented grammar boundary)") {
+    // relative and underspecified dates need a wall clock — excluded by
+    // contract (see Dates scaladoc table), not by accident
+    assert(Dates.parse("two weeks ago").isEmpty)
+    assert(Dates.parse("hace dos semanas").isEmpty)
+    assert(Dates.parse("2021").isEmpty)          // bare year
+    assert(Dates.parse("March 2021").isEmpty)    // month-year
+    assert(Dates.parse("12 January").isEmpty)    // no year
+    assert(Dates.parse("01/02/21").isEmpty)      // 2-digit year
+    assert(Dates.parse("last Tuesday").isEmpty)
+  }
+
   test("render → parse round-trips for every style (property)") {
     val genDate = for {
       y <- Gen.choose(1900, 2100)

@@ -39,6 +39,45 @@ class DedupSpec extends SparkSpec {
     assert(lsh.size >= (exact.size * 0.9).toInt, s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("minhash hash families (md5 oracle path vs xxhash64 production path) are equivalent where it is structural") {
+    // The md5 hex VARCHAR signatures exist for DuckDB parity; production
+    // shuffles 8-byte xxhash64 longs. What IS family-invariant (and asserted):
+    // precision (verification is exact in both) and recall of identical /
+    // near-identical plants (equal shingle sets ⇒ equal signatures ⇒ same
+    // band buckets in ANY hash family). What is NOT: band recall for pairs
+    // NEAR the 0.8 threshold — banding is probabilistic per family (measured
+    // here: md5 catches a handful of borderline truncation pairs xxhash64
+    // does not). Hence a recall floor, not set equality.
+    val exact = Dedup.ngramJaccard(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val md5Pairs = Dedup.minhashLsh(corpus, "md5").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val xxPairs = Dedup.minhashLsh(corpus, "xxhash64").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(md5Pairs.subsetOf(exact), "md5 family emitted a sub-threshold pair")
+    assert(xxPairs.subsetOf(exact), "xxhash64 family emitted a sub-threshold pair")
+    // exact-copy plants: Jaccard 1.0 ⇒ identical signatures ⇒ recalled by BOTH
+    val copies = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .filter(col("doc_id") % 7 === 0).select("doc_id").collect()
+      .map(_.getLong(0)).map(id => (id, id + 2000000L))
+    copies.foreach { p =>
+      assert(md5Pairs.contains(p), s"md5 missed exact-copy pair $p")
+      assert(xxPairs.contains(p), s"xxhash64 missed exact-copy pair $p")
+    }
+    assert(md5Pairs.size >= (exact.size * 0.9).toInt, s"md5 recall ${md5Pairs.size}/${exact.size}")
+    assert(xxPairs.size >= (exact.size * 0.9).toInt, s"xxhash64 recall ${xxPairs.size}/${exact.size}")
+    // canon variant: the g0 accent pair has EQUAL sim_keys ⇒ equal shingle
+    // sets ⇒ equal signatures ⇒ banding recall is structural in any family
+    val dim = graft.canon.Canon.surfaceStats(
+      graft.pipeline.Pipeline.mentionsCached(spark, sfTiny))
+    Seq("md5", "xxhash64").foreach { fam =>
+      val edges = graft.canon.Canon.minhashEdges(dim, fam).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(edges.contains(("Maria Elena Vasquez", "María Elena Vásquez")),
+        s"$fam family missed the sim_key-equal accent pair")
+    }
+  }
+
   test("simhash is identical for identical docs and 64 bits long") {
     val sh = Dedup.simhash(corpus).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     sh.values.foreach(s => assert(s.length == 64 && s.forall(c => c == '0' || c == '1')))

@@ -20,6 +20,34 @@ class ExtractSpec extends SparkSpec {
     assert(Extract.paragraphs("<p></p><p>  </p><p>k</p>") == Vector("k"))
   }
 
+  test("recover-mode parser handles messy common-crawl-style HTML") {
+    // block-level segmentation + inline strip + named/numeric entities +
+    // script skip + implicit-close <li> + text outside any block
+    val messy = "<html><head><title>T</title></head><body>" +
+      "<div>One <b>bold</b> here<ul><li>item one<li>item &amp; two</ul>" +
+      "<h2>Head</h2>line<br>break &#65;&#x42;!" +
+      "<script>var x = \"<p>no</p>\";</script><p>tail"
+    assert(Extract.paragraphs(messy) ==
+      Vector("One bold here", "item one", "item & two", "Head", "line", "break AB!", "tail"))
+    // no <body>: whole document parses; <style> skipped with contents
+    assert(Extract.paragraphs("<style>p { color: red }</style>Hello <i>world</i>") ==
+      Vector("Hello world"))
+    // comments stripped (even spanning markup); unclosed comment drops rest
+    assert(Extract.paragraphs("<p>a<!-- <p>x</p> -->b</p>") == Vector("ab"))
+    assert(Extract.paragraphs("<p>a</p><!-- never closed <p>x") == Vector("a"))
+    // recovery: bare '<' is literal text; unterminated tag drops remainder
+    assert(Extract.paragraphs("<p>3 < 5 and 5 > 3</p>") == Vector("3 < 5 and 5 > 3"))
+    assert(Extract.paragraphs("<p>abc<div unterminated") == Vector("abc"))
+    // unknown entities pass through literally; quoted '>' inside attributes
+    assert(Extract.paragraphs("<p>&copy; &foo; ok</p>") == Vector("&copy; &foo; ok"))
+    assert(Extract.paragraphs("<div title=\"a > b\">kept</div>") == Vector("kept"))
+    // numeric references beyond the BMP decode via surrogate pairs
+    assert(Extract.paragraphs("<p>&#x1F600;</p>") == Vector(new String(Character.toChars(0x1F600))))
+    // table cells and headings are block boundaries
+    assert(Extract.paragraphs("<table><tr><td>c1<td>c2</table><h1>h</h1>") ==
+      Vector("c1", "c2", "h"))
+  }
+
   test("segments restart seg_no at 1 per page and preserve order") {
     val segs = Extract.segments(Pages.synthesize(spark, sfTiny))
     val one = segs.filter(_.url == Pages.urlOf(0)).collect().sortBy(_.seg_no)

@@ -24,6 +24,30 @@ class MentionsSpec extends SparkSpec {
     assert(resolved.map(_.surface) == List("Carlos Mendez Rivera", "y"))
   }
 
+  test("resolveOverlaps breaks identical-span ties deterministically (smallest surface)") {
+    def m(surf: String) = Mention("u", 1, 1, surf, "PERSON", 0, 16, 1.0)
+    // ensemble unions can carry the same span under case-twin surfaces; the
+    // totalized sort key must pick the same winner on any input permutation
+    val a = m("Fatima Al Rashid"); val b = m("Fatima al Rashid")
+    assert(Mentions.resolveOverlaps(List(a, b)).map(_.surface) == List("Fatima Al Rashid"))
+    assert(Mentions.resolveOverlaps(List(b, a)).map(_.surface) == List("Fatima Al Rashid"))
+  }
+
+  test("ensemble union + cross-extractor resolution equals the exact scan modulo case twins (O7)") {
+    val segs = Pipeline.segments(spark, sfTiny)
+    val exact = Mentions.scan(segs, Gazetteer.all.toArray)
+    val fuzzy = graft.fuzzy.Fuzzy.scan(segs, Gazetteer.persons.map(_ -> "PERSON").toArray)
+    val resolved = Mentions.resolveAcrossExtractors(exact.unionByName(fuzzy)).collect()
+      .map(m => (m.url, m.seg_no, m.start, m.surface, m.label)).sorted.toSeq
+    def caseCanon(s: String): String = s match {
+      case "Fatima al Rashid" => "Fatima Al Rashid" // g5 twin, smaller surface wins
+      case other              => other
+    }
+    val exactOnly = exact.collect()
+      .map(m => (m.url, m.seg_no, m.start, caseCanon(m.surface), m.label)).sorted.toSeq
+    assert(resolved == exactOnly)
+  }
+
   test("scan over planted corpus finds exactly the planted mentions") {
     val ms = Pipeline.mentions(spark, sfTiny).collect()
     // expected from the same plant arithmetic (independent of the scan path)
