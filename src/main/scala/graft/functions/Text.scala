@@ -110,6 +110,35 @@ object Text {
   @inline private def isWordChar(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == '_'
 
+  /** Sentence split mirroring the reference's `(?<=[.!?])\s+` lookbehind
+    * (check_ner_sentence_number.py:7; also the q_sentences split).
+    */
+  def splitSentences(text: String): Vector[String] =
+    text.trim.split("(?<=[.!?])\\s+").iterator.map(_.trim).filter(_.nonEmpty).toVector
+
+  /** Sentence-tag encode (P6 variant, check_ner_sentence_number.py:6-12):
+    * every sentence is wrapped on BOTH sides with its 1-based tag —
+    * `[SENTENCE_i] s [SENTENCE_i]` — so a downstream annotator can cite a
+    * sentence by number without character offsets.
+    */
+  def encodeSentenceTags(text: String): String =
+    splitSentences(text).zipWithIndex
+      .map { case (s, i) => s"[SENTENCE_${i + 1}] $s [SENTENCE_${i + 1}]" }
+      .mkString(" ")
+
+  /** Inverse of [[encodeSentenceTags]] (check_ner_sentence_number.py:14-16):
+    * backreferenced tag pairs → (sentence number → trimmed sentence), DOTALL
+    * so embedded newlines survive.
+    */
+  def decodeSentenceTags(encoded: String): Map[Int, String] = {
+    val p = java.util.regex.Pattern.compile(
+      "\\[SENTENCE_(\\d+)\\](.*?)\\[SENTENCE_\\1\\]", java.util.regex.Pattern.DOTALL)
+    val m = p.matcher(encoded)
+    val b = Map.newBuilder[Int, String]
+    while (m.find()) b += m.group(1).toInt -> m.group(2).trim
+    b.result()
+  }
+
   /** Levenshtein ratio as used by the similarity predicate
     * (OllamaNERExtractor.py:122-126): 1 - lev / max(len). The lev itself is
     * Spark's builtin `levenshtein` in plan-land; this JVM twin exists for

@@ -65,4 +65,25 @@ class TextSpec extends AnyFunSuite {
     assert(Text.pyTitle("") == "")
     assert(Text.pyTitle("x") == "X")
   }
+
+  test("sentence-tag encode/decode round-trips (reference wrap/unwrap semantics)") {
+    val text = "First sentence. Second one! Third?  Trailing fragment."
+    val sentences = Text.splitSentences(text)
+    assert(sentences == Vector("First sentence.", "Second one!", "Third?", "Trailing fragment."))
+    val encoded = Text.encodeSentenceTags(text)
+    assert(encoded.startsWith("[SENTENCE_1] First sentence. [SENTENCE_1]"))
+    val decoded = Text.decodeSentenceTags(encoded)
+    assert(decoded == sentences.zipWithIndex.map { case (s, i) => (i + 1) -> s }.toMap)
+    // DOTALL: embedded newlines survive the round trip
+    val multi = Text.decodeSentenceTags("[SENTENCE_3] line one\nline two [SENTENCE_3]")
+    assert(multi == Map(3 -> "line one\nline two"))
+    // unmatched / mismatched tags decode to nothing rather than throwing
+    assert(Text.decodeSentenceTags("[SENTENCE_1] dangling [SENTENCE_2]") == Map.empty)
+    assert(Text.decodeSentenceTags("no tags at all") == Map.empty)
+    // round trip over a planted page text (the q_sentences surface)
+    val page = graft.sources.Pages.pageText(7, "plain word soup here")
+    val rt = Text.decodeSentenceTags(Text.encodeSentenceTags(page))
+    assert(rt.keySet == (1 to Text.splitSentences(page).length).toSet)
+    assert(Text.splitSentences(page).zipWithIndex.forall { case (s, i) => rt(i + 1) == s })
+  }
 }
