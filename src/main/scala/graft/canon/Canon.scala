@@ -203,7 +203,7 @@ object Canon {
       rounds += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"[cc] round $rounds large=${(tL - tR) / 1e9}%.2fs small=${(tS - tL) / 1e9}%.2fs " +
-          f"check=${(System.nanoTime() - tS) / 1e9}%.2fs n=${nextSig._1} planLines=${next.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size}")
+          f"check=${(System.nanoTime() - tS) / 1e9}%.2fs n=${nextSig._1}")
     }
     // Fixpoint is a star forest: every pair is (component-min, member).
     val labels = vs
