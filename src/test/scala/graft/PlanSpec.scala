@@ -19,9 +19,10 @@ class PlanSpec extends SparkSpec {
   private def exchanges(df: DataFrame): Int = {
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.SimpleMode)
-    // ReusedExchange references an existing shuffle — not a new frontier
-    "Exchange".r.findAllMatchIn(plan).size -
-      "ReusedExchange".r.findAllMatchIn(plan).size
+    // \bExchange matches only the shuffle node: "BroadcastExchange" (not a
+    // shuffle) and "ReusedExchange" (reuses an existing one) have no word
+    // boundary before "Exchange" and are correctly excluded.
+    "\\bExchange\\b".r.findAllMatchIn(plan).size
   }
 
   test("extraction and scan stages are narrow: zero shuffles end to end") {
