@@ -30,13 +30,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 )
 // Benchmark JVMs commit+touch the whole heap up front (untimed) — this VM's
 // host makes first-touch page faults intermittently very slow, so a growing
-// heap injects noise into timed runs. DEFAULT-ON for every fork (Bench,
-// Verify, tests): round 2's driver-visible bench ran without it and recorded
-// a phantom 14× flagship regression from host page-fault stalls. Opt out
-// with SPARK_GRAFT_PRETOUCH=0. tmpfs spark.local.dir keeps block-device
-// jitter out of shuffle writes for the same reason (explicit .config in
-// code still wins over the -D).
-javaOptions ++= (if (!sys.env.get("SPARK_GRAFT_PRETOUCH").contains("0"))
-  Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}", "-XX:+AlwaysPreTouch",
-    "-Dspark.local.dir=/dev/shm/graft-spark")
-else Nil)
+// heap injects noise into timed runs. Scoped to `run` forks only (Bench,
+// ScalingBench, Verify — the timed surfaces; round 2's driver-visible bench
+// ran without it and recorded a phantom 14× flagship regression from host
+// page-fault stalls). The TEST fork keeps plain JVM defaults: tests assert
+// correctness, not wall time, and an unconditional -Xms8g would refuse to
+// start on hosts with <8 GB free. Opt out with SPARK_GRAFT_PRETOUCH=0
+// (see README troubleshooting). tmpfs spark.local.dir keeps block-device
+// jitter out of shuffle writes, gated on /dev/shm actually having ≥12 GB
+// usable so shuffle spill can't exhaust a small RAM-backed tmpfs (explicit
+// .config in code still wins over the -D).
+run / javaOptions ++= {
+  val shm = new java.io.File("/dev/shm")
+  val shmOk = shm.isDirectory && shm.getUsableSpace > 12L * 1024 * 1024 * 1024
+  if (sys.env.get("SPARK_GRAFT_PRETOUCH").contains("0")) Nil
+  else Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}", "-XX:+AlwaysPreTouch") ++
+    (if (shmOk) Seq("-Dspark.local.dir=/dev/shm/graft-spark") else Nil)
+}

@@ -42,8 +42,20 @@ object SparkEntry {
         .select(col("url"), col("lang"), length(col("text")).cast("long").as("text_len"))
     }),
     "q_mentions" -> ((s, dir) => {
-      Pipeline.mentionsCached(s, dir).toDF()
-        .groupBy(col("url"), col("surface"), col("label"))
+      val ms = Pipeline.mentionsCached(s, dir).toDF()
+      // F5 rider (like A11 rides q_lineage): every mention's offsets must
+      // lie inside its segment, and exact hits (score=1) must SLICE the
+      // segment text to the surface — the two provenance surfaces (span
+      // coordinates vs surface string) can never drift. Fuzzy-recall hits
+      // span a variant of the surface, so they get the bounds check only.
+      val bad = ms.join(Pipeline.segments(s, dir).toDF(), Seq("url", "page", "seg_no"))
+        .filter(col("start") < 0 || col("start") >= col("end") ||
+          col("end") > length(col("text")) ||
+          (col("score") === 1.0 &&
+            expr("substring(text, start + 1, `end` - start)") =!= col("surface")))
+        .count()
+      require(bad == 0, s"F5 containment violated by $bad mention spans")
+      ms.groupBy(col("url"), col("surface"), col("label"))
         .agg(count(lit(1)).as("n"))
     }),
     "q_entity_rollup" -> ((s, dir) => {
@@ -164,6 +176,24 @@ object SparkEntry {
         .groupBy(col("surface")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("surface"))
         .limit(10)
+    }),
+    // P7/J2: tokenizer with character positions over the normalized
+    // document text — typed flatMap of the same Text.tokensWithPos the
+    // fuzzy matchers align spans with. Plant safety is `require`d first:
+    // the DuckDB twin (Oracle.qTokens) re-derives positions from
+    // space-split arithmetic, which equals \w+-run tokenization only on
+    // [a-z ]-only corpora.
+    "q_tokens" -> ((s, dir) => {
+      import s.implicits._
+      graft.verify.CorpusAsserts.assertPlantSafe(s, dir)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          graft.functions.Text.tokensWithPos(graft.functions.Text.normWs(t))
+            .map { case (tok, st, en) => (id, tok, st.toLong, en.toLong) }
+        }
+        .toDF("doc_id", "token", "pos", "pos_end")
     }),
     "q_sentences" -> ((s, dir) => {
       Pipeline.pages(s, dir).toDF()
@@ -343,6 +373,7 @@ object SparkEntry {
     "q_window_running" -> Oracle.qWindowRunning,
     "q_topk_entities" -> Oracle.qTopkEntities,
     "q_sentences" -> Oracle.qSentences,
+    "q_tokens" -> Oracle.qTokens,
     "q_linking" -> Oracle.qLinking,
     "q_linking_best" -> Oracle.qLinkingBest,
     "q_pattern_triples" -> Oracle.qPatternTriples,

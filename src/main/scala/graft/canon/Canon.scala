@@ -134,8 +134,15 @@ object Canon {
     * propagation needs O(diameter) — the difference between 14 and 10,000
     * rounds on a long alias chain. `vertices` must include isolated nodes.
     * Returns (surface, component) with component = lexicographic min member.
+    *
+    * `maxIter` default 60: the chain spec (CanonSpec) measures convergence
+    * at ~1.5·log₂(n) alternating rounds (20 at n=10⁴), so 10⁹ vertices —
+    * the 100× deployment shape — need ~45; 60 adds headroom. Hitting
+    * `maxIter` without converging THROWS (the non-star-forest pair set
+    * would otherwise emit multiple conflicting component labels per vertex
+    * and silently corrupt every downstream canonical map via join fan-out).
     */
-  def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25,
+  def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 60,
       localThreshold: Long = 100000L, hubDegree: Long = 1024L): DataFrame =
     connectedComponentsWithRounds(vertices, edges, maxIter, localThreshold, hubDegree)._1
 
@@ -144,16 +151,20 @@ object Canon {
     * is spec-assertable (CanonSpec chain-graph case).
     */
   def connectedComponentsWithRounds(vertices: DataFrame, edges: DataFrame,
-      maxIter: Int = 25, localThreshold: Long = 100000L,
+      maxIter: Int = 60, localThreshold: Long = 100000L,
       hubDegree: Long = 1024L): (DataFrame, Int) = {
     // Materialize the (possibly expensive — e.g. a banded similarity
     // self-join) edge input ONCE: the size gate, the local collect()/first
     // distributed round would otherwise each re-run the edge pipeline.
-    // localCheckpointFresh, not Dataset.localCheckpoint: Spark 4 propagates
+    // localCheckpointFresh*, not Dataset.localCheckpoint: Spark 4 propagates
     // estimated stats through checkpoints, and in an iterative join loop
     // sizeInBytes SQUARES per round until the driver melts down in
     // BigInteger stats arithmetic — see GraftSqlShims.localCheckpointFresh.
-    val ck = org.apache.spark.sql.GraftSqlShims.localCheckpointFresh _
+    // The LAZY variant everywhere here: every checkpoint below is consumed
+    // by an immediate driver action (the size-gate counts, the per-round
+    // checksum aggregate), which materializes it — the eager count() was a
+    // pure extra job, ~1/3 of the fixed per-round loop latency.
+    val ck = org.apache.spark.sql.GraftSqlShims.localCheckpointFreshLazy _
     val vs = ck(vertices.select(col("surface")))
     val es = ck(edges.select(col("a"), col("b")))
     // Adaptive fast path (same spirit as Spark's broadcast-join threshold):
@@ -178,8 +189,13 @@ object Canon {
     var rounds = 0
     // Fixpoint detection via an order-independent edge-set checksum
     // (count + bit_xor of xxhash64(a,b)): ONE tiny driver action per round
-    // on the already-checkpointed pair set, instead of a two-legged
-    // except/union job (SURVEY §7.6 risk 5 — batched driver actions).
+    // on the lazily-checkpointed pair set — the aggregate doubles as the
+    // checkpoint-materializing action (SURVEY §7.6 risk 5 — batched driver
+    // actions). A checksum MATCH is confirmed with one exact set compare
+    // before the loop exits: counts are equal by construction (part of the
+    // signature), so `next \ pairs = ∅` ⇒ set equality — a bit_xor hash
+    // collision therefore cannot terminate the loop early with wrong
+    // components; it only costs one extra round.
     def checksum(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).first()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
@@ -192,12 +208,16 @@ object Canon {
       // itself to m(u). Alternating the two is the published O(log n)
       // scheme; the fixpoint is a star forest centered at component minima.
       val tR = System.nanoTime()
-      val afterLarge = largeStar(pairs, hubDegree)
+      val (afterLarge, mLarge) = starRound(pairs, hubDegree, large = true)
       val tL = System.nanoTime()
-      val next = smallStar(afterLarge, hubDegree)
+      val (next, mSmall) = starRound(afterLarge, hubDegree, large = false)
       val tS = System.nanoTime()
+      // Materializes next's checkpoint AND afterLarge's (first touch) in
+      // one job, while both rounds' cached m aggregates are still live.
       val nextSig = checksum(next)
-      converged = nextSig == sig
+      mLarge.unpersist(false)
+      mSmall.unpersist(false)
+      converged = nextSig == sig && next.exceptAll(pairs).isEmpty
       sig = nextSig
       pairs = next
       rounds += 1
@@ -205,6 +225,14 @@ object Canon {
         println(f"[cc] round $rounds large=${(tL - tR) / 1e9}%.2fs small=${(tS - tL) / 1e9}%.2fs " +
           f"check=${(System.nanoTime() - tS) / 1e9}%.2fs n=${nextSig._1}")
     }
+    // Fail loudly on non-convergence: the pair set is not yet a star
+    // forest, so the extraction below could emit conflicting component
+    // labels per vertex — silent corruption of every downstream canonical
+    // map. (See the maxIter sizing note on connectedComponents.)
+    require(converged,
+      s"connected components did not converge within maxIter=$maxIter " +
+        s"rounds ($rounds executed) — raise maxIter (~1.5*log2(|V|) rounds " +
+        "are needed; default 60 covers 1e12 vertices)")
     // Fixpoint is a star forest: every pair is (component-min, member).
     val labels = vs
       .join(pairs.select(col("b").as("surface"), col("a").as("component")), Seq("surface"), "left")
@@ -239,33 +267,34 @@ object Canon {
     pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
 
-  /** One large-star round: emit (v, m(u)) for every neighbor v > u. Output
-    * is canonical pairs (min, max), checkpointed (iterative lineage cut).
+  /** One star round, LAZILY checkpointed (iterative lineage cut; the
+    * caller's checksum aggregate is the materializing action).
+    *
+    * Large-star (`large = true`): emit (v, m(u)) for every neighbor v > u —
+    * output is canonical pairs (m ≤ src < dst). Small-star: emit (v, m(u))
+    * for every neighbor v < u plus (u, m(u)) itself — all edges point
+    * downward to local minima.
+    *
+    * Returns (out, m): `m` is the round's CACHED neighborhood-min
+    * aggregate, consumed 2-3× inside the round's plan — the caller must
+    * unpersist it AFTER materializing `out` (unpersisting earlier would
+    * recompute the aggregate per consumer when the lazy checkpoint finally
+    * executes).
     */
-  private def largeStar(pairs: DataFrame, hubDegree: Long): DataFrame = {
+  private def starRound(pairs: DataFrame, hubDegree: Long,
+      large: Boolean): (DataFrame, DataFrame) = {
     val (symM, m) = withNbrMin(symmetrize(pairs), hubDegree)
-    val out = org.apache.spark.sql.GraftSqlShims.localCheckpointFresh(
-      symM.filter(col("dst") > col("src"))
-        .select(col("m").as("a"), col("dst").as("b")) // m ≤ src < dst
-        .filter(col("a") =!= col("b"))
-        .distinct())
-    m.unpersist(false)
-    out
-  }
-
-  /** One small-star round: emit (v, m(u)) for every neighbor v < u plus
-    * (u, m(u)) itself. All output edges point downward to local minima.
-    */
-  private def smallStar(pairs: DataFrame, hubDegree: Long): DataFrame = {
-    val (symM, m) = withNbrMin(symmetrize(pairs), hubDegree)
-    val out = org.apache.spark.sql.GraftSqlShims.localCheckpointFresh(
-      symM.filter(col("dst") < col("src"))
-        .select(col("m").as("a"), col("dst").as("b")) // m ≤ dst by definition
-        .unionByName(m.select(col("m").as("a"), col("src").as("b")))
-        .filter(col("a") =!= col("b"))
-        .distinct())
-    m.unpersist(false)
-    out
+    val emitted =
+      if (large)
+        symM.filter(col("dst") > col("src"))
+          .select(col("m").as("a"), col("dst").as("b")) // m ≤ src < dst
+      else
+        symM.filter(col("dst") < col("src"))
+          .select(col("m").as("a"), col("dst").as("b")) // m ≤ dst by definition
+          .unionByName(m.select(col("m").as("a"), col("src").as("b")))
+    val out = org.apache.spark.sql.GraftSqlShims.localCheckpointFreshLazy(
+      emitted.filter(col("a") =!= col("b")).distinct())
+    (out, m)
   }
 
   /** Pair-level evaluation of a canonicalization vs golden alias groups —

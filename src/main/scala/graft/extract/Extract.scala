@@ -40,6 +40,11 @@ object Extract {
     *  - recovery: a bare `<` that opens no tag is literal text; an
     *    unterminated tag or comment consumes the remainder (lxml-recover
     *    semantics); attribute values may contain quoted `>`
+    *  - CONTRACT BOUNDARY: `<![CDATA[...]]>` is NOT recognized as a
+    *    section — `<!` followed by `[` falls to bare-`<` recovery, so the
+    *    wrapper and its contents leak through as literal text (CDATA is an
+    *    XML/XHTML construct, rare in web HTML; fixture-pinned in
+    *    ExtractSpec like the date-grammar boundary table)
     * Each flushed segment is whitespace-collapsed; empties dropped.
     */
   def paragraphs(html: String): Vector[String] = {

@@ -78,6 +78,12 @@ final class AhoCorasick private (patterns: Array[String]) {
     acc.reverse
   }
 
+  /** Trie node count — memory is O(nodeCount); bounded above by
+    * Σ|pattern| + 1 (each pattern char creates at most one node), which
+    * GazetteerScaleSpec asserts at the 100k-surface dimension.
+    */
+  def nodeCount: Int = children.length
+
   @inline private def boundaryBefore(t: String, start: Int): Boolean =
     start == 0 || !Character.isLetterOrDigit(t.charAt(start - 1))
   @inline private def boundaryAfter(t: String, end: Int): Boolean =

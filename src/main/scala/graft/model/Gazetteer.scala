@@ -79,4 +79,24 @@ object Gazetteer {
   /** Golden alias groups (group_id, surface) for canonicalization tests. */
   val goldenAliasGroups: Vector[(Int, String)] =
     personGroups.zipWithIndex.flatMap { case (g, i) => g.map(i -> _) }
+
+  /** Deterministic synthetic PERSON surfaces at arbitrary dimension size —
+    * the 100k-surface evidence corpus for the broadcast-automaton scale
+    * claims (GazetteerScaleSpec, graft.GazetteerBench). Each index maps to
+    * a unique two-word syllable name ("Bacedi Fogumu"); distinct for
+    * n ≤ 64M, disjoint from the real gazetteer (no real surface is a
+    * syllable-product word), and shaped like the production dimension
+    * (≈13 chars, two tokens).
+    */
+  def syntheticSurfaces(n: Int): Vector[(String, String)] = {
+    val syl = Vector("ba", "ce", "di", "fo", "gu", "ha", "je", "ki", "lo",
+      "mu", "na", "pe", "qi", "ro", "su", "ta", "ve", "wi", "xo", "yu")
+    def word(i: Int): String = {
+      // 3 syllables = 20^3 = 8000 distinct words; leading capital
+      val s = syl(i % 20) + syl(i / 20 % 20) + syl(i / 400 % 20)
+      s.substring(0, 1).toUpperCase(java.util.Locale.ROOT) + s.substring(1)
+    }
+    require(n <= 8000 * 8000, s"syntheticSurfaces supports n <= 64M, got $n")
+    (0 until n).map(i => (word(i % 8000) + " " + word(i / 8000), "PERSON")).toVector
+  }
 }

@@ -50,6 +50,19 @@ object Pipeline {
     canonMemo.computeIfAbsent((spark, sfDir),
       _ => Canon.canonicalMap(mentionsCached(spark, sfDir)).cache())
 
+  /** Unpersist and drop both memo entries for (spark, sfDir). The memos are
+    * correct for one-shot Verify/Bench processes, but hold cached Datasets
+    * for the session's lifetime — any long-lived embedding (a service, a
+    * notebook iterating over sfDirs) must call this when done with a
+    * corpus. Verify/Bench call it at teardown; PipelineSpec asserts the
+    * session's cache manager is empty afterwards.
+    */
+  def evict(spark: SparkSession, sfDir: String): Unit = {
+    val key = (spark, sfDir)
+    Option(mentionMemo.remove(key)).foreach(_.unpersist())
+    Option(canonMemo.remove(key)).foreach(_.unpersist())
+  }
+
   /** All triples: segment co-occurrence + canonical provenance. */
   def triples(spark: SparkSession, sfDir: String): Dataset[Triple] = {
     val ms = mentionsCached(spark, sfDir)

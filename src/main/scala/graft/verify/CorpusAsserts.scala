@@ -31,7 +31,7 @@ object CorpusAsserts {
       .distinct
 
   def assertPlantSafe(spark: SparkSession, sfDir: String): Unit =
-    if (checked.add((spark, sfDir))) {
+    if (!checked.contains((spark, sfDir))) {
       val bigramAlt = personBigrams
         .map(java.util.regex.Pattern.quote).mkString("(?:", "|", ")")
       val bad = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -43,5 +43,10 @@ object CorpusAsserts {
           "(base text must be [a-z ]-only word soup with no person-token " +
           "bigram) — the fuzzy/date plant-arithmetic oracles are invalid " +
           "on this corpus; see graft.verify.CorpusAsserts scaladoc")
+      // Memoize only AFTER the require passes: recording first would make
+      // every later call in the JVM silently skip the failed check (a
+      // caught first failure would leave the plant oracles unguarded).
+      // Under concurrency this can rarely scan twice — harmless.
+      checked.add((spark, sfDir))
     }
 }

@@ -325,6 +325,31 @@ object Oracle {
     SELECT dd.url, CAST(d.doc_id % 3 + 1 AS BIGINT) AS n_sentences
     FROM documents d JOIN docs dd ON dd.doc_id = d.doc_id"""
 
+  /** Tokenize-with-positions (P7/J2): the engine flatMaps
+    * [[graft.functions.Text.tokensWithPos]] over the whitespace-normalized
+    * document text; the oracle re-derives (token, pos, pos_end) from the
+    * single-space-joined token list with a running-length window. The two
+    * formulations agree exactly BECAUSE the base corpus is plant-safe
+    * ([a-z ]-only after normalization — CorpusAsserts): on such text the
+    * `\\w+` token runs are precisely the space-separated words, so the
+    * engine query `require`s plant safety before returning.
+    */
+  val qTokens: String =
+    s"""WITH d AS (
+      SELECT doc_id, string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ts
+      FROM documents
+    ), i AS (
+      SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM d
+    ), t AS (
+      SELECT doc_id, i, ts[i] AS token,
+             CAST(COALESCE(sum(length(ts[i]) + 1) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pos
+      FROM i
+    )
+    SELECT doc_id, token, pos, CAST(pos + length(token) AS BIGINT) AS pos_end
+    FROM t WHERE length(token) > 0"""
+
   /** Lineage row counts per bucket after materializing the flagship triples:
     * cooccurrence contributes 3 rows per planted segment; provenance one row
     * per distinct (canonical person, url).

@@ -26,13 +26,36 @@ object GraftSqlShims {
     * unaffected.
     */
   def localCheckpointFresh(df: DataFrame): DataFrame = {
+    val out = localCheckpointFreshLazy(df)
+    out.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+      .queryExecution.toRdd.count() // eager materialization
+    out
+  }
+
+  /** [[localCheckpointFresh]] without the eager `count()`: the checkpoint
+    * materializes at the FIRST consumer action instead (local checkpoints
+    * cache partitions as they are computed — later consumers read the
+    * stored blocks, exactly as in the eager form). Use when a consumer
+    * action provably follows immediately — e.g. the CC loop, where each
+    * round's star output is consumed by a checksum aggregate in the same
+    * driver step; the eager count there was a pure extra job per round
+    * (~1/3 of the loop's fixed per-round latency at sandbox scale).
+    */
+  def localCheckpointFreshLazy(df: DataFrame): DataFrame = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
     val spark = ds.sparkSession
     // copy(): unsafe rows are buffer-reused per partition; checkpointed
     // storage must own its bytes (same guard Dataset.checkpoint applies)
     val rdd = ds.queryExecution.toRdd.map(_.copy())
     rdd.localCheckpoint()
-    rdd.count() // eager materialization
     spark.internalCreateDataFrame(rdd, ds.schema)
   }
+
+  /** True iff the session's cache manager holds no cached plans — lets a
+    * test assert that an unpersist/evict hook really emptied the cache
+    * (CacheManager is `private[sql]`, hence the shim).
+    */
+  def cacheIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
 }

@@ -115,6 +115,22 @@ class CanonSpec extends SparkSpec {
     assert(rounds <= 20, s"chain took $rounds rounds — not O(log n)")
   }
 
+  test("CC fails loudly (not silently wrong) when maxIter is exhausted") {
+    import spark.implicits._
+    // A 64-vertex chain needs several alternating rounds; maxIter=1 cannot
+    // reach the star forest. The old behavior extracted labels from the
+    // non-converged pair set — multiple conflicting (surface, component)
+    // rows per vertex, silently corrupting downstream joins. Now it throws.
+    val n = 64
+    val verts = (0 until n).map(i => f"v$i%03d").toDF("surface")
+    val edges = (1 until n).map(i => (f"v${i - 1}%03d", f"v$i%03d")).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Canon.connectedComponentsWithRounds(verts, edges, maxIter = 1, localThreshold = 0)
+        ._1.collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("stop-token cap knowingly sacrifices Levenshtein-only pairs blocked by hot tokens") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

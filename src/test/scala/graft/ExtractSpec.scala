@@ -48,6 +48,18 @@ class ExtractSpec extends SparkSpec {
       Vector("c1", "c2", "h"))
   }
 
+  test("contract boundary: CDATA sections fall to bare-'<' recovery (wrapper leaks)") {
+    // `<!` + `[` is not a tag name, so recovery emits the '<' literally and
+    // the rest of the wrapper flows through as text — the documented
+    // boundary (Extract scaladoc), pinned here so a behavior change is loud.
+    assert(Extract.paragraphs("<p>a <![CDATA[raw & text]]> b</p>") ==
+      Vector("a <![CDATA[raw & text]]> b"))
+    // an embedded block tag inside the leaked wrapper still segments —
+    // CDATA contents are NOT protected from the parser (the leak is total)
+    assert(Extract.paragraphs("<p>x <![CDATA[<p>inner]]></p>") ==
+      Vector("x <![CDATA[", "inner]]>"))
+  }
+
   test("segments restart seg_no at 1 per page and preserve order") {
     val segs = Extract.segments(Pages.synthesize(spark, sfTiny))
     val one = segs.filter(_.url == Pages.urlOf(0)).collect().sortBy(_.seg_no)
