@@ -54,9 +54,7 @@ object Mentions {
     segments.mapPartitions { it =>
       val gaz = bc.value
       val ac = AhoCorasick.cached(gaz.map(_._1))
-      val tokenIndex: Map[String, List[Int]] = gaz.indices.toList
-        .flatMap(i => graft.functions.Text.tokensWithPos(gaz(i)._1).map(_._1 -> i))
-        .groupMap(_._1)(_._2)
+      val tokenIndex = Mentions.cachedTokenIndex(gaz)
       it.flatMap { seg =>
         val raw = ac.scan(seg.text).map { case (p, s, e) =>
           Mention(seg.url, seg.page, seg.seg_no, gaz(p)._1, gaz(p)._2, s, e, 1.0)
@@ -75,6 +73,22 @@ object Mentions {
         }
       }
     }
+  }
+
+  // Executor-local cache of the gazetteer token index (token → entity
+  // indices), keyed by content hash like AhoCorasick.cached: at a 100k-
+  // surface dimension the index is ~200k entries, and rebuilding it per
+  // TASK (the previous behavior) costs real time once a job runs millions
+  // of tasks — the automaton was amortized, the index was not.
+  @transient private val tokenIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Map[String, List[Int]]]()
+
+  private[graft] def cachedTokenIndex(gaz: Array[(String, String)]): Map[String, List[Int]] = {
+    val key = java.util.Arrays.hashCode(gaz.asInstanceOf[Array[AnyRef]])
+    tokenIndexCache.computeIfAbsent(key, _ =>
+      gaz.indices.toList
+        .flatMap(i => graft.functions.Text.tokensWithPos(gaz(i)._1).map(_._1 -> i))
+        .groupMap(_._1)(_._2))
   }
 
   /** Greedy non-overlap selection — the reference's

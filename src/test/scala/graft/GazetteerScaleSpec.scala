@@ -50,6 +50,32 @@ class GazetteerScaleSpec extends SparkSpec {
     assert(ac.scan(s"x${s17}y").isEmpty)
   }
 
+  test("scanWithRecall at 100k surfaces: amortized token index + fuzzy fallback") {
+    import spark.implicits._
+    val gaz = dim.toArray
+    // the token index is content-hash cached like the automaton — one
+    // build per executor, not one per task
+    val a = Mentions.cachedTokenIndex(gaz)
+    val b = Mentions.cachedTokenIndex(dim.toArray) // distinct array object
+    assert(a eq b, "token index must be amortized across tasks")
+    val exactSurf = dim(123)._1
+    val fuzzySurf = dim(456)._1
+    val segs = Seq(
+      Segment("e1", 1, 1, "p", s"minutes record $exactSurf present"),
+      // lowercase variant: no exact automaton hit; token-fuzzy recall path
+      // must find it (tokens compare lowercased, ratio 1.0)
+      Segment("f1", 1, 1, "p",
+        s"minutes record ${fuzzySurf.toLowerCase(java.util.Locale.ROOT)} present"),
+      // no hit and no shared token: recall path must return nothing
+      Segment("n1", 1, 1, "p", "completely unrelated committee minutes")
+    ).toDS().repartition(3)
+    val ms = Mentions.scanWithRecall(segs, gaz).collect()
+    val byUrl = ms.groupBy(_.url)
+    assert(byUrl("e1").map(_.surface).toSeq == Seq(exactSurf))
+    assert(byUrl("f1").map(_.surface).toSeq == Seq(fuzzySurf))
+    assert(!byUrl.contains("n1"))
+  }
+
   test("Mentions.scan end-to-end with a 100k-surface broadcast dimension") {
     import spark.implicits._
     val gaz = dim.toArray
