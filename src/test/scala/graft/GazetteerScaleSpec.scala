@@ -76,6 +76,24 @@ class GazetteerScaleSpec extends SparkSpec {
     assert(!byUrl.contains("n1"))
   }
 
+  test("executor caches survive 32-bit content-hash collisions (latest wins, never wrong)") {
+    // "Aa" and "BB" are the classic equal-hashCode string pair; arrays (and
+    // tuples) built from them collide at the cache-key level, so this
+    // exercises the collision branch directly: a colliding entry must be
+    // REPLACED, never returned as a false hit.
+    assert("Aa".hashCode == "BB".hashCode)
+    val a = AhoCorasick.cached(Array("Aa"))
+    assert(a.scan("Aa x").nonEmpty)
+    val b = AhoCorasick.cached(Array("BB"))
+    assert(b.scan("BB x").nonEmpty)
+    assert(b.scan("Aa x").isEmpty, "collision returned the wrong automaton")
+    val t1 = Mentions.cachedTokenIndex(Array(("Aa", "X")))
+    assert(t1.contains("aa"))
+    val t2 = Mentions.cachedTokenIndex(Array(("BB", "X")))
+    assert(t2.contains("bb"))
+    assert(!t2.contains("aa"), "collision returned the wrong token index")
+  }
+
   test("Mentions.scan end-to-end with a 100k-surface broadcast dimension") {
     import spark.implicits._
     val gaz = dim.toArray
