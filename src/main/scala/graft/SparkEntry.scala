@@ -341,7 +341,11 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => TextStats.fingerprints(TextStats.documents(s, dir))),
 
     // --- multimodal metadata (binary column + stub decode) ---------------
-    "q_media_meta" -> ((s, dir) => Multimodal.decode(Multimodal.media(s, dir)).toDF()),
+    // n_bytes (the real container size) is projected away: deflate output
+    // length is not oracle-expressible arithmetic; the planted header
+    // metadata is, and hash-matching it proves the encode→parse round trip.
+    "q_media_meta" -> ((s, dir) => Multimodal.decode(Multimodal.media(s, dir))
+      .toDF().select("doc_id", "kind", "width", "height", "frames")),
 
     // --- events: windowed agg + sessionization ---------------------------
     "q_events_window" -> ((s, dir) =>

@@ -151,13 +151,20 @@ object OracleOps {
     """WITH norm AS (SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS text FROM documents)
     SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM norm"""
 
+  /** Mirror of the planted container-header arithmetic in
+    * graft.multimodal.MediaCodec: the Spark side writes REAL PNG/WAV/GIF
+    * bytes with these dimensions and re-reads them from the container
+    * headers, so a hash match here verifies the encode→parse round trip.
+    * For audio, width = sample rate (8000) and height = channels (1).
+    */
   val qMediaMeta: String =
     """SELECT d.doc_id,
       CASE WHEN d.doc_id % 3 = 0 THEN 'image' WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-      CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
-      CAST(octet_length(encode(d.text)) % 509 + 16 AS BIGINT) AS width,
-      CAST((octet_length(encode(d.text)) * 7) % 389 + 16 AS BIGINT) AS height,
-      CAST(octet_length(encode(d.text)) % 30 + 1 AS BIGINT) AS frames
+      CAST(CASE WHEN d.doc_id % 3 = 1 THEN 8000 ELSE d.doc_id % 95 + 16 END AS BIGINT) AS width,
+      CAST(CASE WHEN d.doc_id % 3 = 1 THEN 1 ELSE (d.doc_id * 7) % 61 + 16 END AS BIGINT) AS height,
+      CAST(CASE WHEN d.doc_id % 3 = 0 THEN 1
+                WHEN d.doc_id % 3 = 1 THEN d.doc_id % 480 + 32
+                ELSE d.doc_id % 12 + 2 END AS BIGINT) AS frames
     FROM documents d"""
 
   val qEventsWindow: String =
