@@ -346,6 +346,10 @@ object SparkEntry {
     // metadata is, and hash-matching it proves the encode→parse round trip.
     "q_media_meta" -> ((s, dir) => Multimodal.decode(Multimodal.media(s, dir))
       .toDF().select("doc_id", "kind", "width", "height", "frames")),
+    // frame sampler: every 7th frame index of each video container, where
+    // the frame count comes from the parsed GIF header (not the plant)
+    "q_media_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.decode(Multimodal.media(s, dir)))),
 
     // --- events: windowed agg + sessionization ---------------------------
     "q_events_window" -> ((s, dir) =>
@@ -401,6 +405,7 @@ object SparkEntry {
     "q_token_count" -> OracleOps.qTokenCount,
     "q_fingerprint" -> OracleOps.qFingerprint,
     "q_media_meta" -> OracleOps.qMediaMeta,
+    "q_media_frames" -> OracleOps.qMediaFrames,
     "q_events_window" -> OracleOps.qEventsWindow,
     "q_sessions" -> OracleOps.qSessions
   )

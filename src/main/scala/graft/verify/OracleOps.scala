@@ -167,6 +167,16 @@ object OracleOps {
                 ELSE d.doc_id % 12 + 2 END AS BIGINT) AS frames
     FROM documents d"""
 
+  /** Every-7th-frame sample over video rows only. The Spark side reads the
+    * frame count from the parsed GIF header; the oracle regenerates it from
+    * the planted arithmetic (frames = doc_id % 12 + 2, so the inclusive
+    * stop is doc_id % 12 + 1 on both sides).
+    */
+  val qMediaFrames: String =
+    """SELECT d.doc_id,
+      unnest(generate_series(0, CAST(d.doc_id % 12 + 1 AS BIGINT), 7)) AS frame_no
+    FROM documents d WHERE d.doc_id % 3 = 2"""
+
   val qEventsWindow: String =
     """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute_ts, event_type,
       COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
