@@ -83,17 +83,21 @@ object Bench {
     val sweepTimes = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     for (pass <- 0 to sweepReps; (name, fn) <- sweepQueries if !errors.contains(name)) {
       val t = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
           val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
           errors += name -> msg // fail once; later passes skip the query
           System.err.println(s"[bench] $name FAILED: $msg")
+          false
       }
-      if (pass > 0) // pass 0 = untimed warm-up
+      // pass 0 = untimed warm-up; a failed pass records NO time (its
+      // time-to-failure is not a result — the query lands in `errors` and,
+      // with no successful rep, reports the -1.0 sentinel below)
+      if (pass > 0 && ok)
         sweepTimes(name) = ((System.nanoTime() - t) / 1e9) :: sweepTimes.getOrElse(name, Nil)
     }
     val results = sweepQueries.map { case (name, _) =>
-      name -> sweepTimes.getOrElse(name, List(-1.0)).min // -1: failed in warm-up
+      name -> sweepTimes.getOrElse(name, List(-1.0)).min // -1: no successful timed rep
     }
     val queryNoise = sweepQueries.map { case (name, _) =>
       val ts = sweepTimes.getOrElse(name, Nil)

@@ -44,15 +44,21 @@ object SparkEntry {
     "q_mentions" -> ((s, dir) => {
       val ms = Pipeline.mentionsCached(s, dir).toDF()
       // F5 rider (like A11 rides q_lineage): every mention's offsets must
-      // lie inside its segment, and exact hits (score=1) must SLICE the
-      // segment text to the surface — the two provenance surfaces (span
-      // coordinates vs surface string) can never drift. Fuzzy-recall hits
-      // span a variant of the surface, so they get the bounds check only.
+      // lie inside its segment, and score-1.0 hits must slice the segment
+      // to a tokenKey-equivalent of the surface — the two provenance
+      // surfaces (span coordinates vs surface string) can never drift.
+      // tokenKey, not string equality: the token-fuzzy recall path also
+      // emits ratio 1.0 for case/punctuation variants of a surface, whose
+      // slice differs verbatim but tokenKey-matches by construction (a
+      // verbatim check would abort on a legitimate corpus); a drifted span
+      // still trips it because its tokens no longer match the surface's.
       val bad = ms.join(Pipeline.segments(s, dir).toDF(), Seq("url", "page", "seg_no"))
         .filter(col("start") < 0 || col("start") >= col("end") ||
           col("end") > length(col("text")) ||
           (col("score") === 1.0 &&
-            expr("substring(text, start + 1, `end` - start)") =!= col("surface")))
+            graft.functions.expressions.tokenkey(
+              expr("substring(text, start + 1, `end` - start)")) =!=
+              graft.functions.expressions.tokenkey(col("surface"))))
         .count()
       require(bad == 0, s"F5 containment violated by $bad mention spans")
       ms.groupBy(col("url"), col("surface"), col("label"))

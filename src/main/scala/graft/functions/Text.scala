@@ -62,6 +62,14 @@ object Text {
     */
   def simKey(s: String): String = unaccent(s).toLowerCase(java.util.Locale.ROOT)
 
+  /** The tokenizer's own equivalence key: lowercased word-char tokens
+    * ([[tokensWithPos]]) joined by single spaces. Two strings share a
+    * tokenKey iff the token-fuzzy matcher ([[graft.fuzzy.Fuzzy.tokenWindowMatches]])
+    * scores them at ratio exactly 1.0 — case and punctuation variants
+    * collapse, genuinely different token sequences never do.
+    */
+  def tokenKey(s: String): String = tokensWithPos(s).map(_._1).mkString(" ")
+
   /** Python `str.title()` byte parity (P2 — the reference title-cases names,
     * OllamaEntityCleaner normalization): a cased letter is titlecased when
     * the PREVIOUS char is not cased, lowercased otherwise; non-cased chars

@@ -48,6 +48,24 @@ case class SimKey(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Column form of [[graft.functions.Text.tokenKey]] — the tokenizer's own
+  * equivalence key (lowercased word-char tokens, space-joined). Used by the
+  * F5 provenance rider: a score-1.0 mention's sliced span must tokenKey-match
+  * its surface whether it came from the exact automaton (verbatim slice) or
+  * the token-fuzzy recall path (case/punctuation variant at ratio 1.0).
+  */
+case class TokenKey(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(Text.tokenKey(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+      s"graft.functions.Text.tokenKey($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): TokenKey =
+    copy(child = newChild)
+}
+
 /** Static eval target for [[RegexFindAll]] — shared by interpreted and
   * codegen paths (the compiled Pattern rides in as a codegen reference
   * object, so the regex compiles once per plan, not per row).
@@ -143,6 +161,9 @@ object expressions {
   /** simkey(col) — lower(unaccent(col)) without the ICU lower() path. */
   def simkey(c: Column): Column =
     Bridge.column(SimKey(Bridge.expression(c)))
+  /** tokenkey(col) — the tokenizer's equivalence key (Text.tokenKey). */
+  def tokenkey(c: Column): Column =
+    Bridge.column(TokenKey(Bridge.expression(c)))
   /** regexFindAll(col, pattern) — every match with char offsets. */
   def regexFindAll(c: Column, pattern: String): Column =
     Bridge.column(RegexFindAll(Bridge.expression(c), pattern))

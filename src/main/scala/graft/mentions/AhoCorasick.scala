@@ -93,24 +93,11 @@ final class AhoCorasick private (patterns: Array[String]) {
 object AhoCorasick {
   def apply(patterns: Array[String]): AhoCorasick = new AhoCorasick(patterns)
 
-  // Executor-local cache keyed by pattern content hash: mapPartitions tasks
-  // on the same executor reuse one automaton instead of rebuilding. The
-  // 32-bit key alone is NOT identity — a hash collision between two
-  // distinct gazetteers would silently scan with the wrong automaton — so
-  // hits are confirmed with a full content compare; a colliding entry is
-  // replaced (latest wins: correctness always, amortization except in the
-  // ~2⁻³² pathological alternation). Bounded so a long-lived service
-  // cycling gazetteers can't grow it without limit.
-  @transient private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Int, (Array[String], AhoCorasick)]()
-  private val MaxCached = 64
-  def cached(patterns: Array[String]): AhoCorasick = {
-    val key = java.util.Arrays.hashCode(patterns.asInstanceOf[Array[AnyRef]])
-    if (cache.size > MaxCached) cache.clear()
-    cache.compute(key, (_, cur) =>
-      if (cur != null && java.util.Arrays.equals(
-          cur._1.asInstanceOf[Array[AnyRef]], patterns.asInstanceOf[Array[AnyRef]])) cur
-      else (patterns.clone(), new AhoCorasick(patterns))
-    )._2
-  }
+  // Executor-local cache keyed by pattern content: mapPartitions tasks on
+  // the same executor reuse one automaton instead of rebuilding. The
+  // collision-confirmed, size-bounded discipline lives in
+  // graft.util.ContentKeyedCache (shared with Mentions.cachedTokenIndex).
+  private val cache = new graft.util.ContentKeyedCache[AhoCorasick]()
+  def cached(patterns: Array[String]): AhoCorasick =
+    cache.get(patterns)(new AhoCorasick(_))
 }

@@ -76,26 +76,18 @@ object Mentions {
   }
 
   // Executor-local cache of the gazetteer token index (token → entity
-  // indices), keyed by content hash like AhoCorasick.cached: at a 100k-
-  // surface dimension the index is ~200k entries, and rebuilding it per
-  // TASK (the previous behavior) costs real time once a job runs millions
-  // of tasks — the automaton was amortized, the index was not. Same
-  // collision-confirmed, size-bounded discipline as AhoCorasick.cached.
-  @transient private val tokenIndexCache = new java.util.concurrent.ConcurrentHashMap[
-    Int, (Array[(String, String)], Map[String, List[Int]])]()
-  private val MaxCachedIndexes = 64
+  // indices): at a 100k-surface dimension the index is ~200k entries, and
+  // rebuilding it per TASK (the previous behavior) costs real time once a
+  // job runs millions of tasks — the automaton was amortized, the index was
+  // not. The collision-confirmed, size-bounded discipline lives in
+  // graft.util.ContentKeyedCache (shared with AhoCorasick.cached).
+  private val tokenIndexCache =
+    new graft.util.ContentKeyedCache[Map[String, List[Int]]]()
 
-  private[graft] def cachedTokenIndex(gaz: Array[(String, String)]): Map[String, List[Int]] = {
-    val key = java.util.Arrays.hashCode(gaz.asInstanceOf[Array[AnyRef]])
-    if (tokenIndexCache.size > MaxCachedIndexes) tokenIndexCache.clear()
-    tokenIndexCache.compute(key, (_, cur) =>
-      if (cur != null && java.util.Arrays.equals(
-          cur._1.asInstanceOf[Array[AnyRef]], gaz.asInstanceOf[Array[AnyRef]])) cur
-      else (gaz.clone(), gaz.indices.toList
-        .flatMap(i => graft.functions.Text.tokensWithPos(gaz(i)._1).map(_._1 -> i))
-        .groupMap(_._1)(_._2))
-    )._2
-  }
+  private[graft] def cachedTokenIndex(gaz: Array[(String, String)]): Map[String, List[Int]] =
+    tokenIndexCache.get(gaz)(g => g.indices.toList
+      .flatMap(i => graft.functions.Text.tokensWithPos(g(i)._1).map(_._1 -> i))
+      .groupMap(_._1)(_._2))
 
   /** Greedy non-overlap selection — the reference's
     * `remove_overlapping_entities` (OllamaNERExtractor.py:101-112, 6 dupes):

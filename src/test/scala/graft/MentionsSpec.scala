@@ -77,6 +77,34 @@ class MentionsSpec extends SparkSpec {
     }
   }
 
+  test("F5 rider survives fuzzy recall at ratio 1.0: tokenKey equivalence, not verbatim") {
+    import spark.implicits._
+    // A lowercase variant of a gazetteer surface with no exact hit: the
+    // token matcher recovers it at ratio exactly 1.0, and its slice differs
+    // from the surface VERBATIM but tokenKey-matches — the case that a
+    // score==1.0 slice==surface check would wrongly abort q_mentions on.
+    val seg = Segment("u", 1, 1, "p", "the maria elena vasquez hearing")
+    val gaz = Array(("Maria Elena Vasquez", "PERSON"))
+    val ms = Mentions.scanWithRecall(Seq(seg).toDS(), gaz).collect()
+    assert(ms.length == 1)
+    val m = ms.head
+    assert(m.score == 1.0)
+    val slice = seg.text.substring(m.start, m.end)
+    assert(slice != m.surface) // the verbatim equality the old check required
+    assert(graft.functions.Text.tokenKey(slice) ==
+      graft.functions.Text.tokenKey(m.surface))
+    // the column expression agrees with the Scala function (codegen path),
+    // and a genuinely drifted span still trips the rider
+    import org.apache.spark.sql.functions.col
+    import graft.functions.expressions.tokenkey
+    val drifted = seg.text.substring(m.start, math.min(m.end + 4, seg.text.length))
+    val df = Seq((slice, m.surface, false), (drifted, m.surface, true))
+      .toDF("slice", "surface", "expect_trip")
+    val tripped = df.filter(tokenkey(col("slice")) =!= tokenkey(col("surface")))
+      .select("expect_trip").collect().map(_.getBoolean(0)).toSeq
+    assert(tripped == Seq(true))
+  }
+
   test("resolveAcrossExtractors matches local resolution on a union of sets") {
     import spark.implicits._
     def m(seg: Int, s: Int, e: Int, surf: String) = Mention("u", 1, seg, surf, "X", s, e, 1.0)
