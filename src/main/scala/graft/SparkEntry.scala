@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.pipeline.Pipeline
 import graft.canon.Canon
 import graft.dedup.Dedup
+import graft.mentions.Mentions
 import graft.multimodal.Multimodal
 import graft.relations.Relations
 import graft.similarity.Ann
@@ -44,21 +45,16 @@ object SparkEntry {
     "q_mentions" -> ((s, dir) => {
       val ms = Pipeline.mentionsCached(s, dir).toDF()
       // F5 rider (like A11 rides q_lineage): every mention's offsets must
-      // lie inside its segment, and score-1.0 hits must slice the segment
-      // to a tokenKey-equivalent of the surface — the two provenance
-      // surfaces (span coordinates vs surface string) can never drift.
-      // tokenKey, not string equality: the token-fuzzy recall path also
-      // emits ratio 1.0 for case/punctuation variants of a surface, whose
-      // slice differs verbatim but tokenKey-matches by construction (a
-      // verbatim check would abort on a legitimate corpus); a drifted span
-      // still trips it because its tokens no longer match the surface's.
+      // lie inside its segment and its slice must agree with its surface —
+      // the two provenance surfaces (span coordinates vs surface string)
+      // can never drift. The drift predicate (Mentions.provenanceViolation)
+      // accepts both legitimate score-1.0 shapes — verbatim automaton
+      // slices and word-aligned tokenKey-equal fuzzy variants — while
+      // catching drift into word chars (tokenKey mismatch) AND into
+      // adjacent punctuation/whitespace (boundary misalignment).
       val bad = ms.join(Pipeline.segments(s, dir).toDF(), Seq("url", "page", "seg_no"))
-        .filter(col("start") < 0 || col("start") >= col("end") ||
-          col("end") > length(col("text")) ||
-          (col("score") === 1.0 &&
-            graft.functions.expressions.tokenkey(
-              expr("substring(text, start + 1, `end` - start)")) =!=
-              graft.functions.expressions.tokenkey(col("surface"))))
+        .filter(Mentions.provenanceViolation(
+          col("text"), col("start"), col("end"), col("surface"), col("score")))
         .count()
       require(bad == 0, s"F5 containment violated by $bad mention spans")
       ms.groupBy(col("url"), col("surface"), col("label"))
@@ -353,9 +349,12 @@ object SparkEntry {
     "q_media_meta" -> ((s, dir) => Multimodal.decode(Multimodal.media(s, dir))
       .toDF().select("doc_id", "kind", "width", "height", "frames")),
     // frame sampler: every 7th frame index of each video container, where
-    // the frame count comes from the parsed GIF header (not the plant)
+    // the frame count comes from the parsed GIF header (not the plant).
+    // kind = video BEFORE the encode stage: the sampler discards the other
+    // two kinds, so encoding their PNG/WAV payloads would be pure waste.
     "q_media_frames" -> ((s, dir) =>
-      Multimodal.sampleFrames(Multimodal.decode(Multimodal.media(s, dir)))),
+      Multimodal.sampleFrames(Multimodal.decode(
+        Multimodal.media(s, dir, kind = Some("video"))))),
 
     // --- events: windowed agg + sessionization ---------------------------
     "q_events_window" -> ((s, dir) =>

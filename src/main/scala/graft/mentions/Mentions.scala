@@ -1,6 +1,6 @@
 package graft.mentions
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Column, Dataset, functions}
 import graft.model.{Mention, Segment}
 
 /** Gazetteer mention detection + overlap resolution.
@@ -121,5 +121,34 @@ object Mentions {
     mentions
       .groupByKey(m => (m.url, m.page, m.seg_no))
       .flatMapGroups((_, it) => resolveOverlaps(it.toList))
+  }
+
+  /** F5 provenance-drift predicate (the q_mentions hard `require` rides
+    * this): true when a mention row's span coordinates have drifted from
+    * its surface string. A row is a violation when
+    *  - its offsets fall outside the segment, or
+    *  - score == 1.0 and the slice is not the surface VERBATIM and either
+    *     (a) the slice's tokenKey differs from the surface's (drift into
+    *         word characters — extra/changed tokens), or
+    *     (b) the slice does not start AND end on a word character (drift
+    *         into adjacent punctuation/whitespace, which tokenKey alone
+    *         cannot see).
+    * Both legitimate score-1.0 producers pass: exact automaton hits slice
+    * verbatim (whatever characters the surface contains), and token-fuzzy
+    * ratio-1.0 hits span first-token-start to last-token-end (word-char
+    * aligned by construction) with an equal tokenKey.
+    */
+  def provenanceViolation(text: Column, start: Column, end: Column,
+      surface: Column, score: Column): Column = {
+    import graft.functions.expressions.tokenkey
+    // The tokenizer's word-char class: letters, decimal digits, underscore
+    // (Text.isWordChar = Character.isLetterOrDigit || '_').
+    val wordChar = "[\\p{L}\\p{Nd}_]"
+    val slice = text.substr(start + functions.lit(1), end - start)
+    start < 0 || start >= end || end > functions.length(text) ||
+      (score === 1.0 && slice =!= surface && (
+        tokenkey(slice) =!= tokenkey(surface) ||
+        !text.substr(start + functions.lit(1), functions.lit(1)).rlike(wordChar) ||
+        !text.substr(end, functions.lit(1)).rlike(wordChar)))
   }
 }

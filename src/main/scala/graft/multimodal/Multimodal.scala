@@ -35,10 +35,21 @@ object Multimodal {
     * text column is pruned at the parquet reader). One encoder instantiation
     * per partition (the GIF ImageWriter is reused across rows).
     */
-  def media(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+  def media(spark: SparkSession, sfDir: String,
+      kind: Option[String] = None): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"))
+    // Optional kind restriction applied BEFORE the encode stage: the kind
+    // is a pure function of doc_id, so a consumer that only wants videos
+    // (q_media_frames) must not pay the PNG/WAV encode for the other 2/3.
+    val wanted = kind match {
+      case Some("image") => ids.filter(col("doc_id") % 3 === 0)
+      case Some("audio") => ids.filter(col("doc_id") % 3 === 1)
+      case Some("video") => ids.filter(col("doc_id") % 3 === 2)
+      case _             => ids
+    }
+    wanted.as[Long]
       .mapPartitions { it =>
         val enc = new MediaEncoder // per-partition codec instantiation
         it.map { id =>
@@ -72,10 +83,13 @@ object Multimodal {
 
   /** Frame sampling: every k-th frame index for video rows — the
     * explode-shaped output of a frame sampler over the parsed frame count.
+    * Zero-frame containers (a valid GIF can carry no image descriptor)
+    * contribute no rows — without the `frames >= 1` guard,
+    * `sequence(0, -1, k)` throws illegal-boundaries and kills the scan.
     */
   def sampleFrames(meta: Dataset[MediaMeta], every: Long = 7): DataFrame = {
     meta.toDF()
-      .filter(col("kind") === "video")
+      .filter(col("kind") === "video" && col("frames") >= 1)
       .select(col("doc_id"),
         explode(expr(s"sequence(0, frames - 1, $every)")).as("frame_no"))
   }
@@ -140,7 +154,12 @@ object MediaCodec {
     var rate = -1L; var ch = -1L; var blockAlign = -1L; var dataLen = -1L
     while (pos + 8 <= b.length && (rate < 0 || dataLen < 0)) {
       val size = le32(b, pos + 4)
-      if (size < 0 || size > b.length) return None // malformed chunk size
+      // The chunk must lie fully within the buffer — checking size against
+      // the TOTAL length would accept a truncated-mid-chunk file (frame
+      // count overstated vs bytes present) and let a corrupt non-terminal
+      // size land the walk inside payload bytes, misparsing garbage as
+      // chunk headers instead of returning None.
+      if (size < 0 || pos + 8 + size > b.length) return None
       if (b(pos) == 'f' && b(pos + 1) == 'm' && b(pos + 2) == 't' && size >= 16 &&
           pos + 8 + 16 <= b.length) {
         ch = le16(b, pos + 10)

@@ -93,16 +93,27 @@ class MentionsSpec extends SparkSpec {
     assert(slice != m.surface) // the verbatim equality the old check required
     assert(graft.functions.Text.tokenKey(slice) ==
       graft.functions.Text.tokenKey(m.surface))
-    // the column expression agrees with the Scala function (codegen path),
-    // and a genuinely drifted span still trips the rider
+    // the full provenance predicate (q_mentions' F5 rider) accepts both
+    // legitimate score-1.0 shapes and trips on every drift direction
     import org.apache.spark.sql.functions.col
-    import graft.functions.expressions.tokenkey
-    val drifted = seg.text.substring(m.start, math.min(m.end + 4, seg.text.length))
-    val df = Seq((slice, m.surface, false), (drifted, m.surface, true))
-      .toDF("slice", "surface", "expect_trip")
-    val tripped = df.filter(tokenkey(col("slice")) =!= tokenkey(col("surface")))
-      .select("expect_trip").collect().map(_.getBoolean(0)).toSeq
-    assert(tripped == Seq(true))
+    val text = seg.text // "the maria elena vasquez hearing"
+    val cases = Seq(
+      // (text, start, end, surface, score, expect_violation)
+      (text, m.start, m.end, m.surface, 1.0, false), // fuzzy 1.0 case variant
+      (text, 4, 23, "maria elena vasquez", 1.0, false), // exact verbatim
+      ("met Dr. Chen.", 4, 7, "Dr.", 1.0, false), // verbatim w/ punct boundary
+      (text, 4, 24, m.surface, 1.0, true),  // drift into trailing space
+      (text, 3, 23, m.surface, 1.0, true),  // drift into leading space
+      (text, 4, 31, m.surface, 1.0, true),  // drift captures next token
+      (text, 4, 22, m.surface, 1.0, true),  // short span: token changed
+      (text, 4, 60, m.surface, 1.0, true),  // end out of bounds
+      (text, 4, 23, m.surface, 0.9, false)) // sub-1.0 fuzzy: bounds only
+    val df = cases.map(c => (c._1, c._2, c._3, c._4, c._5))
+      .toDF("text", "start", "end", "surface", "score")
+    val got = df.withColumn("viol", Mentions.provenanceViolation(
+        col("text"), col("start"), col("end"), col("surface"), col("score")))
+      .select("viol").collect().map(_.getBoolean(0)).toSeq
+    assert(got == cases.map(_._6))
   }
 
   test("resolveAcrossExtractors matches local resolution on a union of sets") {

@@ -67,9 +67,11 @@ class MultimodalSpec extends SparkSpec {
     }
     // contract: these are HEADER scans — a payload truncated past its intact
     // header still reports the header metadata (PNG keeps its leading IHDR;
-    // GIF hits the missing trailer and returns None)
+    // GIF hits the missing trailer and returns None; WAV hits a chunk
+    // extending past EOF — strict chunk bounds — and returns None)
     assert(MediaCodec.parse(enc.png(3L).dropRight(10)).nonEmpty)
     assert(MediaCodec.parse(enc.gif(11L).dropRight(10)).isEmpty)
+    assert(MediaCodec.parse(enc.wav(7L).dropRight(10)).isEmpty)
     assert(MediaCodec.parse(Array.fill[Byte](64)(0x2A)).isEmpty)
     assert(MediaCodec.parse(Array.empty[Byte]).isEmpty)
     // corrupt a WAV chunk size to a huge value: must not loop or crash
@@ -85,5 +87,19 @@ class MultimodalSpec extends SparkSpec {
     frames.foreach(r => assert(r.getLong(1) % 7 == 0))
     val vids = meta.filter(col("kind") === "video").count()
     assert(frames.map(_.getLong(0)).distinct.length == vids)
+    // kind pre-filter: encoding only video rows yields the identical sample
+    val videoOnly = Multimodal.sampleFrames(Multimodal.decode(
+      Multimodal.media(spark, sfTiny, kind = Some("video")))).collect()
+    assert(videoOnly.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      frames.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
+  test("zero-frame video metadata yields no sampled rows, not a crash") {
+    import spark.implicits._
+    val meta = Seq(
+      Multimodal.MediaMeta(1L, "video", 40L, 8L, 8L, 0L), // header-only GIF
+      Multimodal.MediaMeta(2L, "video", 40L, 8L, 8L, 8L)).toDS()
+    val rows = Multimodal.sampleFrames(meta).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(2L))
   }
 }
