@@ -360,7 +360,27 @@ object SparkEntry {
     "q_events_window" -> ((s, dir) =>
       Streaming.windowedAggBatch(s.read.parquet(s"$dir/events.parquet"))),
     "q_sessions" -> ((s, dir) =>
-      Streaming.sessionizeBatch(s.read.parquet(s"$dir/events.parquet")))
+      Streaming.sessionizeBatch(s.read.parquet(s"$dir/events.parquet"))),
+
+    // The flagship run INCREMENTALLY: pages staged as a multi-file parquet
+    // feed, drained by a real Structured Streaming query (AvailableNow,
+    // maxFilesPerTrigger=1 → one micro-batch per file) into a checkpointed
+    // parquet sink; the canonical alias snapshot comes from the periodic
+    // batch job, as a production lambda split would. The oracle is the
+    // batch flagship's cooccurrence ∪ provenance arithmetic — the stream
+    // must reproduce it exactly.
+    "q_stream_triples" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-flagship")
+      val in = s"$tmp/pages"; val out = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+      Pipeline.pages(s, dir).repartition(4).write.parquet(in)
+      val canon = Pipeline.canonCached(s, dir).collect()
+        .map(r => r.getAs[String]("surface") -> r.getAs[String]("canonical")).toMap
+      graft.streaming.Streaming.runTriplesStreamOnce(s, in, out, ckpt,
+        graft.model.Gazetteer.all.toArray, canon)
+      s.read.parquet(out)
+        .groupBy(col("subj"), col("pred"), col("obj"), col("url"))
+        .agg(count(lit(1)).as("n"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -412,6 +432,7 @@ object SparkEntry {
     "q_media_meta" -> OracleOps.qMediaMeta,
     "q_media_frames" -> OracleOps.qMediaFrames,
     "q_events_window" -> OracleOps.qEventsWindow,
-    "q_sessions" -> OracleOps.qSessions
+    "q_sessions" -> OracleOps.qSessions,
+    "q_stream_triples" -> Oracle.qStreamTriples
   )
 }

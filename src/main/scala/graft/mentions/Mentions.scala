@@ -55,23 +55,32 @@ object Mentions {
       val gaz = bc.value
       val ac = AhoCorasick.cached(gaz.map(_._1))
       val tokenIndex = Mentions.cachedTokenIndex(gaz)
-      it.flatMap { seg =>
-        val raw = ac.scan(seg.text).map { case (p, s, e) =>
-          Mention(seg.url, seg.page, seg.seg_no, gaz(p)._1, gaz(p)._2, s, e, 1.0)
-        }
-        if (raw.nonEmpty) resolveOverlaps(raw)
-        else {
-          val segToks = graft.functions.Text.tokensWithPos(seg.text)
-          val cands = segToks.iterator.map(_._1)
-            .flatMap(t => tokenIndex.getOrElse(t, Nil)).toSet
-          if (cands.isEmpty) Nil
-          else resolveOverlaps(cands.toList.sorted.flatMap { gi =>
-            graft.fuzzy.Fuzzy.tokenWindowMatches(seg.text, gaz(gi)._1, fuzzyThreshold)
-              .map(m => Mention(seg.url, seg.page, seg.seg_no,
-                gaz(gi)._1, gaz(gi)._2, m.start, m.end, m.score))
-          })
-        }
-      }
+      it.flatMap(seg => scanSegment(seg, gaz, ac, tokenIndex, fuzzyThreshold))
+    }
+  }
+
+  /** One segment's exact+recall mention scan (the per-row core of
+    * [[scanWithRecall]]) — factored out so the streaming flagship can run
+    * the identical logic inside its fused per-page stage
+    * (graft.streaming.Streaming.pageTriples) without a second copy of the
+    * exact-first / fuzzy-recall policy.
+    */
+  def scanSegment(seg: Segment, gaz: Array[(String, String)], ac: AhoCorasick,
+      tokenIndex: Map[String, List[Int]], fuzzyThreshold: Double): List[Mention] = {
+    val raw = ac.scan(seg.text).map { case (p, s, e) =>
+      Mention(seg.url, seg.page, seg.seg_no, gaz(p)._1, gaz(p)._2, s, e, 1.0)
+    }
+    if (raw.nonEmpty) resolveOverlaps(raw)
+    else {
+      val segToks = graft.functions.Text.tokensWithPos(seg.text)
+      val cands = segToks.iterator.map(_._1)
+        .flatMap(t => tokenIndex.getOrElse(t, Nil)).toSet
+      if (cands.isEmpty) Nil
+      else resolveOverlaps(cands.toList.sorted.flatMap { gi =>
+        graft.fuzzy.Fuzzy.tokenWindowMatches(seg.text, gaz(gi)._1, fuzzyThreshold)
+          .map(m => Mention(seg.url, seg.page, seg.seg_no,
+            gaz(gi)._1, gaz(gi)._2, m.start, m.end, m.score))
+      })
     }
   }
 

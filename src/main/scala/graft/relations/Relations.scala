@@ -51,6 +51,34 @@ object Relations {
       .as[Triple]
   }
 
+  /** List-local form of [[cooccurrence]] for ONE segment's mentions: the
+    * same distinct-(label, surface) → per-rule subjects × objects pairing,
+    * but computed group-locally with no shuffle. Used by the streaming
+    * flagship (graft.streaming.Streaming.pageTriples), where a segment's
+    * mentions are already in hand inside the per-page stage; StreamingSpec
+    * asserts grouped-count equality with the DataFrame form on a real
+    * corpus.
+    */
+  def coocLocal(ms: Seq[Mention], url: String): List[Triple] = {
+    val pairs = ms.iterator.map(m => (m.label, m.surface)).toList.distinct
+    rules.iterator.flatMap { case (sl, pred, ol) =>
+      val subjs = pairs.collect { case (l, s) if l == sl => s }
+      val objs = pairs.collect { case (l, s) if l == ol => s }
+      for (s <- subjs; o <- objs) yield Triple(s, pred, o, url, 1.0)
+    }.toList
+  }
+
+  /** List-local form of [[mentionedIn]] for ONE page's mentions: canonical
+    * rewrite through a broadcast alias snapshot + per-url dedup. Exact
+    * because urls are unique per page, so page-local distinct == the batch
+    * form's global distinct. Surfaces absent from the snapshot are dropped,
+    * matching the batch inner join.
+    */
+  def provLocal(ms: Seq[Mention], url: String, canon: Map[String, String]): List[Triple] =
+    ms.iterator.filter(_.label == "PERSON")
+      .flatMap(m => canon.get(m.surface)).toList.distinct
+      .map(c => Triple(c, "mentioned_in", url, url, 1.0))
+
   /** Connector-word → predicate table for pattern extraction. */
   val patternPreds: Map[String, String] = Map(
     "representing" -> "represents",

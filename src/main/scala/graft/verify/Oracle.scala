@@ -840,4 +840,29 @@ object Oracle {
     JOIN canonmap cm ON cm.surface = m.surface
     JOIN docs dd ON dd.doc_id = m.doc_id
     GROUP BY cm.canonical, dd.url"""
+
+  /** Streaming-flagship oracle: the full cooccurrence ∪ provenance triple
+    * set the batch flagship emits, grouped — the stream must reproduce it
+    * exactly (pred 'mentioned_in' never occurs in the cooccurrence rules,
+    * so the UNION ALL cannot merge counts across the two families).
+    */
+  val qStreamTriples: String =
+    s"""WITH RECURSIVE $baseCtes, $canonCtes,
+    bySeg AS (SELECT pm.doc_id, pm.j, pm.label, pm.surface FROM pm),
+    cooc AS (
+      SELECT s.surface AS subj, r.pred, o.surface AS obj, dd.url AS url
+      FROM (VALUES ('PERSON','cites','LAW'), ('PERSON','member_of','ORG'),
+                   ('PROVISION','part_of','LAW')) r(sl, pred, ol)
+      JOIN bySeg s ON s.label = r.sl
+      JOIN bySeg o ON o.label = r.ol AND o.doc_id = s.doc_id AND o.j = s.j
+      JOIN docs dd ON dd.doc_id = s.doc_id),
+    prov AS (
+      SELECT DISTINCT cm.canonical AS subj, 'mentioned_in' AS pred,
+             dd.url AS obj, dd.url AS url
+      FROM (SELECT DISTINCT doc_id, surface FROM pm WHERE label = 'PERSON') m
+      JOIN canonmap cm ON cm.surface = m.surface
+      JOIN docs dd ON dd.doc_id = m.doc_id)
+    SELECT subj, pred, obj, url, COUNT(*) AS n
+    FROM (SELECT * FROM cooc UNION ALL SELECT * FROM prov)
+    GROUP BY subj, pred, obj, url"""
 }

@@ -35,4 +35,72 @@ class StreamingSpec extends SparkSpec {
       assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1))
     }
   }
+
+  // --- streaming flagship: pages → triples --------------------------------
+
+  private lazy val gaz = graft.model.Gazetteer.all.toArray
+
+  private lazy val flagshipFixture = {
+    val pages = graft.sources.Pages.synthesize(spark, sfTiny)
+    val ms = graft.mentions.Mentions
+      .scanWithRecall(graft.extract.Extract.segments(pages), gaz).cache()
+    val canonDf = graft.canon.Canon.canonicalMap(ms)
+    val batch = graft.relations.Relations.cooccurrence(ms)
+      .unionByName(graft.relations.Relations.mentionedIn(ms, canonDf))
+    val canon = canonDf.collect()
+      .map(r => r.getAs[String]("surface") -> r.getAs[String]("canonical")).toMap
+    (pages, batch, canon)
+  }
+
+  /** Grouped-multiset view: (subj, pred, obj, url) → row count. */
+  private def grouped(rows: Array[graft.model.Triple]): Map[(String, String, String, String), Int] =
+    rows.groupBy(t => (t.subj, t.pred, t.obj, t.url)).view.mapValues(_.length).toMap
+
+  test("fused narrow pageTriples equals batch cooccurrence ∪ mentionedIn (grouped multisets)") {
+    val (pages, batch, canon) = flagshipFixture
+    val fused = Streaming.pageTriples(pages, gaz, canon)
+    assert(grouped(fused.collect()) == grouped(batch.collect()))
+    assert(grouped(batch.collect()).nonEmpty)
+  }
+
+  test("streaming flagship over a multi-file feed equals the batch result, micro-batched") {
+    val (pages, batch, canon) = flagshipFixture
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-flagship-spec")
+    val in = s"$tmp/pages"; val out = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+    pages.repartition(4).write.parquet(in)
+    Streaming.runTriplesStreamOnce(spark, in, out, ckpt, gaz, canon, maxFilesPerTrigger = 1)
+    val streamed = spark.read.parquet(out).as[graft.model.Triple].collect()
+    assert(grouped(streamed) == grouped(batch.collect()))
+    // maxFilesPerTrigger=1 over a 4-file feed: the run must have been
+    // genuinely incremental, not one monolithic batch.
+    val commits = new java.io.File(s"$ckpt/commits").list().filterNot(_.startsWith("."))
+    assert(commits.length >= 3, s"expected >=3 micro-batch commits, got ${commits.toList}")
+  }
+
+  test("streaming flagship resumes from checkpoint: stop mid-input, add files, no dupes/loss") {
+    val (pages, batch, canon) = flagshipFixture
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-resume-spec")
+    val staging = s"$tmp/staging"; val in = s"$tmp/pages"
+    val out = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+    pages.repartition(4).write.parquet(staging)
+    val parts = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length == 4)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def feed(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(in, f.getName))
+    }
+    // First run sees only half the corpus, drains it, and stops.
+    feed(parts.take(2))
+    Streaming.runTriplesStreamOnce(spark, in, out, ckpt, gaz, canon)
+    val partial = spark.read.parquet(out).count()
+    // The rest of the corpus lands; the SAME checkpoint + sink resumes:
+    // already-committed batches must be skipped (no dupes), new files drained.
+    feed(parts.drop(2))
+    Streaming.runTriplesStreamOnce(spark, in, out, ckpt, gaz, canon)
+    val streamed = spark.read.parquet(out).as[graft.model.Triple].collect()
+    val expected = grouped(batch.collect())
+    assert(partial < streamed.length, "first drain should be a strict subset")
+    assert(grouped(streamed) == expected)
+  }
 }
