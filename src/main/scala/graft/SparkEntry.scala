@@ -364,21 +364,32 @@ object SparkEntry {
 
     // The flagship run INCREMENTALLY: pages staged as a multi-file parquet
     // feed, drained by a real Structured Streaming query (AvailableNow,
-    // maxFilesPerTrigger=1 → one micro-batch per file) into a checkpointed
-    // parquet sink; the canonical alias snapshot comes from the periodic
-    // batch job, as a production lambda split would. The oracle is the
-    // batch flagship's cooccurrence ∪ provenance arithmetic — the stream
-    // must reproduce it exactly.
+    // maxFilesPerTrigger=1 → one micro-batch per file) into the MATERIALIZED
+    // sink — a bucket-partitioned table plus per-micro-batch lineage and
+    // metric sidecars (north rule: lineage + metrics + checkpoint resume on
+    // the streaming path too); the canonical alias snapshot comes from the
+    // periodic batch job, as a production lambda split would. The oracle is
+    // the batch flagship's cooccurrence ∪ provenance arithmetic — the stream
+    // must reproduce it exactly — and the lineage/metric sidecars are hard
+    // riders: their row totals must equal the materialized table's count
+    // (same A11 discipline as q_lineage) or the query throws.
     "q_stream_triples" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream-flagship")
       val in = s"$tmp/pages"; val out = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
       Pipeline.pages(s, dir).repartition(4).write.parquet(in)
       val canon = Pipeline.canonCached(s, dir).collect()
         .map(r => r.getAs[String]("surface") -> r.getAs[String]("canonical")).toMap
-      graft.streaming.Streaming.runTriplesStreamOnce(s, in, out, ckpt,
+      graft.streaming.Streaming.runTriplesStreamMaterialized(s, in, out, ckpt,
         graft.model.Gazetteer.all.toArray, canon)
-      s.read.parquet(out)
-        .groupBy(col("subj"), col("pred"), col("obj"), col("url"))
+      val table = s.read.parquet(s"$out/triples")
+      val nTable = table.count()
+      val nLineage = s.read.parquet(s"$out/_lineage")
+        .agg(sum(col("n_rows"))).head.getLong(0)
+      val nMetrics = s.read.parquet(s"$out/_metrics")
+        .agg(sum(col("rows_out"))).head.getLong(0)
+      require(nLineage == nTable && nMetrics == nTable,
+        s"stream sidecar drift: table=$nTable lineage=$nLineage metrics=$nMetrics")
+      table.groupBy(col("subj"), col("pred"), col("obj"), col("url"))
         .agg(count(lit(1)).as("n"))
     })
   )

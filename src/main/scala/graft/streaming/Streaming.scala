@@ -166,6 +166,79 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Materialized streaming sink: the north rule's "partitioned tables with
+    * per-partition lineage and metric rows for checkpoint resume", streaming
+    * dimension. Each micro-batch writes
+    * `outDir/triples/batch_id=<id>/bucket=<b>/` (url-hash buckets, same
+    * [[graft.materialize.Materialize.bucketCol]] as the batch sink), a
+    * lineage sidecar `outDir/_lineage/batch_id=<id>` with per-bucket row
+    * counts (riding the write job via observe() — counts can never drift
+    * from written rows), and a metrics sidecar `outDir/_metrics/batch_id=
+    * <id>` with the batch's row total + wall nanos.
+    *
+    * Idempotency contract: foreachBatch is at-least-once on failure
+    * recovery, so every per-batch path is written with OVERWRITE into a
+    * batch-scoped directory — a replayed batch truncates its own partial
+    * output and rewrites, never duplicates. (Contrast with the batch sink's
+    * bucket-granular resume in Materialize.writeTriples: bucket-level
+    * skip-sets are the wrong unit here because every micro-batch carries
+    * every bucket.) Exactly-once for readers = checkpoint dedup of batch
+    * ids × batch-scoped overwrite.
+    */
+  def materializedBatchWriter(outDir: String, nBuckets: Int = 16)(
+      batch: Dataset[Triple], batchId: Long): Unit = {
+    import graft.materialize.Materialize
+    val t0 = System.nanoTime()
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = (0 until nBuckets).map(b =>
+      sum(when(col("bucket") === b, 1L).otherwise(0L)).as(s"b$b"))
+    batch.toDF()
+      .withColumn("bucket", Materialize.bucketCol(nBuckets))
+      .observe(obs, aggs.head, aggs.tail: _*)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$outDir/triples/batch_id=$batchId")
+    val observed = obs.get
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val rows = (0 until nBuckets).flatMap { b =>
+      observed.get(s"b$b") match {
+        case Some(n: Long) if n > 0 =>
+          Some(Materialize.LineageRow("stream_triples", b, batchId.toInt, n))
+        case _ => None
+      }
+    }
+    if (rows.nonEmpty) {
+      rows.toDS().toDF().write.mode("overwrite")
+        .parquet(s"$outDir/_lineage/batch_id=$batchId")
+      val total = rows.map(_.n_rows).sum
+      Seq(graft.model.MetricRow("stream_ingest", batchId.toInt, total, total,
+        System.nanoTime() - t0)).toDS().toDF()
+        .write.mode("overwrite").parquet(s"$outDir/_metrics/batch_id=$batchId")
+    }
+  }
+
+  /** [[runTriplesStreamOnce]] with the materialized sink: same AvailableNow
+    * drain + checkpoint resume, but through [[materializedBatchWriter]] so
+    * the output is the partitioned table + lineage + metrics sidecars.
+    * Readers: `spark.read.parquet(s"$outDir/triples")` (batch_id and bucket
+    * come back as partition columns).
+    */
+  def runTriplesStreamMaterialized(spark: SparkSession, pagesDir: String,
+      outDir: String, checkpointDir: String, gazetteer: Array[(String, String)],
+      canonSnapshot: Map[String, String], maxFilesPerTrigger: Int = 1,
+      nBuckets: Int = 16): Unit = {
+    val q = triplesStream(spark, pagesDir, gazetteer, canonSnapshot, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: Dataset[Triple], id: Long) =>
+        materializedBatchWriter(outDir, nBuckets)(b, id))
+      .start()
+    q.awaitTermination()
+  }
+
   final case class SessState(nEvents: Long, nSessions: Long, lastTs: Long)
 
   /** Stateful sessionization via `mapGroupsWithState` — the custom-state

@@ -103,4 +103,57 @@ class StreamingSpec extends SparkSpec {
     assert(partial < streamed.length, "first drain should be a strict subset")
     assert(grouped(streamed) == expected)
   }
+
+  test("materialized streaming sink: partitioned table + lineage/metric sidecars, resume-safe") {
+    val (pages, batch, canon) = flagshipFixture
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-mat-spec")
+    val staging = s"$tmp/staging"; val in = s"$tmp/pages"
+    val out = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+    pages.repartition(4).write.parquet(staging)
+    val parts = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def feed(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(in, f.getName))
+    }
+    // Drain half, then resume over the rest with the same checkpoint.
+    feed(parts.take(2))
+    Streaming.runTriplesStreamMaterialized(spark, in, out, ckpt, gaz, canon)
+    val batchIdsAfterHalf = spark.read.parquet(s"$out/triples")
+      .select("batch_id").distinct().collect().map(_.getInt(0)).toSet
+    feed(parts.drop(2))
+    Streaming.runTriplesStreamMaterialized(spark, in, out, ckpt, gaz, canon)
+
+    // Table contents == batch flagship (partition cols dropped for compare).
+    val table = spark.read.parquet(s"$out/triples")
+    val rows = table.select("subj", "pred", "obj", "url", "score")
+      .as[graft.model.Triple].collect()
+    assert(grouped(rows) == grouped(batch.collect()))
+    // Resume appended NEW batch ids; the first drain's partitions are intact.
+    val allBatchIds = table.select("batch_id").distinct().collect().map(_.getInt(0)).toSet
+    assert(batchIdsAfterHalf.nonEmpty && (allBatchIds -- batchIdsAfterHalf).nonEmpty)
+    assert(batchIdsAfterHalf.subsetOf(allBatchIds))
+    // Lineage and metric sidecars: totals equal the table exactly.
+    val nTable = table.count()
+    val lineage = spark.read.parquet(s"$out/_lineage")
+    assert(lineage.agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0) == nTable)
+    assert(lineage.select("batch_id").distinct().count() == allBatchIds.size)
+    val metrics = spark.read.parquet(s"$out/_metrics")
+    assert(metrics.agg(org.apache.spark.sql.functions.sum("rows_out")).head.getLong(0) == nTable)
+    // Idempotent replay: re-running one committed batch's writer must
+    // OVERWRITE its batch-scoped dirs, not duplicate them (foreachBatch is
+    // at-least-once on failure recovery).
+    // (Materialized via collect first: a real foreachBatch replay re-reads
+    // the SOURCE from the checkpoint — it never scans the sink it is about
+    // to overwrite, so the spec must not either.)
+    val replayId = allBatchIds.max.toLong
+    val replayRows = table.filter(org.apache.spark.sql.functions.col("batch_id") === replayId)
+      .select("subj", "pred", "obj", "url", "score").as[graft.model.Triple].collect()
+    Streaming.materializedBatchWriter(out)(
+      spark.createDataset(replayRows.toSeq), replayId)
+    val after = spark.read.parquet(s"$out/triples")
+    assert(after.count() == nTable, "replayed batch must not duplicate rows")
+    assert(spark.read.parquet(s"$out/_lineage")
+      .agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0) == nTable)
+  }
 }
