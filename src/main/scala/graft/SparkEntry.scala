@@ -377,16 +377,20 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream-flagship")
       val in = s"$tmp/pages"; val out = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
       Pipeline.pages(s, dir).repartition(4).write.parquet(in)
-      val canon = Pipeline.canonCached(s, dir).collect()
-        .map(r => r.getAs[String]("surface") -> r.getAs[String]("canonical")).toMap
+      val canon = graft.canon.Canon.snapshot(Pipeline.canonCached(s, dir))
       graft.streaming.Streaming.runTriplesStreamMaterialized(s, in, out, ckpt,
         graft.model.Gazetteer.all.toArray, canon)
       val table = s.read.parquet(s"$out/triples")
       val nTable = table.count()
-      val nLineage = s.read.parquet(s"$out/_lineage")
-        .agg(sum(col("n_rows"))).head.getLong(0)
-      val nMetrics = s.read.parquet(s"$out/_metrics")
-        .agg(sum(col("rows_out"))).head.getLong(0)
+      // _metrics exists for every committed batch; _lineage only for batches
+      // that wrote rows (both null-safe, so an all-empty drain compares 0=0).
+      val nLineage =
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/_lineage")))
+          s.read.parquet(s"$out/_lineage/*")
+            .agg(coalesce(sum(col("n_rows")), lit(0L))).head.getLong(0)
+        else 0L
+      val nMetrics = s.read.parquet(s"$out/_metrics/*")
+        .agg(coalesce(sum(col("rows_out")), lit(0L))).head.getLong(0)
       require(nLineage == nTable && nMetrics == nTable,
         s"stream sidecar drift: table=$nTable lineage=$nLineage metrics=$nMetrics")
       table.groupBy(col("subj"), col("pred"), col("obj"), col("url"))

@@ -64,8 +64,7 @@ object StreamBench {
     // Periodic batch job's alias snapshot (surface dimension is amplify-
     // invariant, so the unamplified corpus yields the identical map).
     val t0c = System.nanoTime()
-    val canon = graft.pipeline.Pipeline.canonCached(spark, sfDir).collect()
-      .map(r => r.getAs[String]("surface") -> r.getAs[String]("canonical")).toMap
+    val canon = graft.canon.Canon.snapshot(graft.pipeline.Pipeline.canonCached(spark, sfDir))
     val canonSec = (System.nanoTime() - t0c) / 1e9
 
     val repTimes = (1 to reps).map { r =>

@@ -435,4 +435,13 @@ object Canon {
       .select(col("component"), col("surface").as("canonical"))
     comps.join(canon, "component").select(col("surface"), col("canonical"))
   }
+
+  /** Collect a [[canonicalMap]] result into the broadcastable alias snapshot
+    * (surface → canonical) the streaming flagship rewrites provenance
+    * through. Dimension-sized by construction — one row per distinct
+    * surface, never per mention.
+    */
+  def snapshot(canonMap: DataFrame): Map[String, String] =
+    canonMap.collect()
+      .map(r => r.getAs[String]("surface") -> r.getAs[String]("canonical")).toMap
 }

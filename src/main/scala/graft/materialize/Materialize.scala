@@ -23,7 +23,7 @@ import graft.model.{MetricRow, Triple}
   */
 object Materialize {
 
-  final case class LineageRow(table: String, bucket: Int, batch_id: Int, n_rows: Long)
+  final case class LineageRow(table: String, bucket: Int, batch_id: Long, n_rows: Long)
 
   /** Deterministic bucket of a page url. In the sandbox corpus the doc id is
     * embedded in the url path, so bucketing is reproducible in the DuckDB
@@ -61,8 +61,25 @@ object Materialize {
     * come from `observe`-style aggregation of the written data, one extra
     * columnar count over the (already shuffled) output.
     */
+  /** The nBuckets conditional-sum aggregate columns that ride a write job
+    * via observe() — shared by the batch and streaming sinks so the bucket
+    * accounting cannot diverge between them. */
+  def bucketAggs(nBuckets: Int): Seq[org.apache.spark.sql.Column] =
+    (0 until nBuckets).map(b =>
+      sum(when(col("bucket") === b, 1L).otherwise(0L)).as(s"b$b"))
+
+  /** Non-zero (bucket, count) pairs from an Observation over [[bucketAggs]]
+    * (null sums = empty write; zeros = nothing landed in that bucket). */
+  def bucketCounts(observed: Map[String, Any], nBuckets: Int): Seq[(Int, Long)] =
+    (0 until nBuckets).flatMap { b =>
+      observed.get(s"b$b") match {
+        case Some(n: Long) if n > 0 => Some(b -> n)
+        case _ => None
+      }
+    }
+
   def writeTriples(triples: Dataset[Triple], outDir: String, table: String = "triples",
-      nBuckets: Int = 16, batchId: Int = 0): Seq[LineageRow] = {
+      nBuckets: Int = 16, batchId: Long = 0L): Seq[LineageRow] = {
     val spark = triples.sparkSession
     import spark.implicits._
     val done = doneBuckets(spark, outDir, table)
@@ -74,8 +91,7 @@ object Materialize {
     // pending pipeline never runs twice and the recorded counts can never
     // drift from the written rows.
     val obs = org.apache.spark.sql.Observation()
-    val aggs = (0 until nBuckets).map(b =>
-      sum(when(col("bucket") === b, 1L).otherwise(0L)).as(s"b$b"))
+    val aggs = bucketAggs(nBuckets)
     // repartition by the partition column before the dynamic write: one file
     // per bucket instead of (tasks × buckets) small files — the standard
     // dynamic-partition-write shape (at real scale add a second key to fan
@@ -83,13 +99,8 @@ object Materialize {
     pending.observe(obs, aggs.head, aggs.tail: _*)
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$outDir/$table")
-    val observed = obs.get
-    val rows = (0 until nBuckets).flatMap { b =>
-      observed.get(s"b$b") match {
-        case Some(n: Long) if n > 0 => Some(LineageRow(table, b, batchId, n))
-        case _ => None // null sums = empty write; zero = bucket already done
-      }
-    }
+    val rows = bucketCounts(obs.get, nBuckets)
+      .map { case (b, n) => LineageRow(table, b, batchId, n) }
     if (rows.nonEmpty)
       rows.toDS().toDF().write.mode("append").parquet(lineagePath(outDir))
     rows

@@ -75,6 +75,22 @@ final case class MetricRow(
     nanos: Long
 )
 
+/** Per-micro-batch metrics for the streaming materialized sink. `batch_id`
+  * is Long because streaming checkpoint batch ids are (a production stream
+  * outlives Int). The sink passes rows through, so rows_in == rows_out by
+  * definition — both are recorded from the write job's own observe() count,
+  * which is INDEPENDENT of the lineage sidecar's per-bucket conditional
+  * sums (a row whose bucket expression evaluates null is counted here but
+  * in no bucket, so lineage/metrics drift exposes a bucket-predicate bug).
+  */
+final case class StreamMetricRow(
+    stage: String,
+    batch_id: Long,
+    rows_in: Long,
+    rows_out: Long,
+    nanos: Long
+)
+
 /** Tuning constants preserved from the reference for P/R parity
   * (SURVEY.md §4.1 "duplicate-code constant tuning").
   */

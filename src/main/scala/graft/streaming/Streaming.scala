@@ -171,10 +171,11 @@ object Streaming {
     * dimension. Each micro-batch writes
     * `outDir/triples/batch_id=<id>/bucket=<b>/` (url-hash buckets, same
     * [[graft.materialize.Materialize.bucketCol]] as the batch sink), a
-    * lineage sidecar `outDir/_lineage/batch_id=<id>` with per-bucket row
+    * lineage sidecar `outDir/_lineage/batch-<id>` with per-bucket row
     * counts (riding the write job via observe() — counts can never drift
-    * from written rows), and a metrics sidecar `outDir/_metrics/batch_id=
-    * <id>` with the batch's row total + wall nanos.
+    * from written rows), and a metrics sidecar `outDir/_metrics/batch-<id>`
+    * with the batch's row total + wall nanos, counted independently of the
+    * lineage bucket sums.
     *
     * Idempotency contract: foreachBatch is at-least-once on failure
     * recovery, so every per-batch path is written with OVERWRITE into a
@@ -190,8 +191,12 @@ object Streaming {
     import graft.materialize.Materialize
     val t0 = System.nanoTime()
     val obs = org.apache.spark.sql.Observation()
-    val aggs = (0 until nBuckets).map(b =>
-      sum(when(col("bucket") === b, 1L).otherwise(0L)).as(s"b$b"))
+    // total (a plain count) and the per-bucket conditional sums are
+    // INDEPENDENT measurements of the same write job: the lineage sidecar is
+    // built from the bucket sums, the metrics sidecar from the count, so a
+    // bucket-predicate bug (e.g. rows whose bucket expression is null land
+    // in no sum) shows up as lineage != metrics downstream.
+    val aggs = count(lit(1)).as("total") +: Materialize.bucketAggs(nBuckets)
     batch.toDF()
       .withColumn("bucket", Materialize.bucketCol(nBuckets))
       .observe(obs, aggs.head, aggs.tail: _*)
@@ -201,28 +206,32 @@ object Streaming {
     val observed = obs.get
     val spark = batch.sparkSession
     import spark.implicits._
-    val rows = (0 until nBuckets).flatMap { b =>
-      observed.get(s"b$b") match {
-        case Some(n: Long) if n > 0 =>
-          Some(Materialize.LineageRow("stream_triples", b, batchId.toInt, n))
-        case _ => None
-      }
-    }
-    if (rows.nonEmpty) {
+    // Sidecar dirs are batch-scoped but deliberately NOT hive-style
+    // (`batch-N`, not `batch_id=N`): the row types already carry a typed
+    // Long batch_id column, and a hive dir of the same name would shadow it
+    // with an inferred partition column on read. Readers use a one-level
+    // glob over the batch dirs.
+    val rows = Materialize.bucketCounts(observed, nBuckets)
+      .map { case (b, n) => Materialize.LineageRow("stream_triples", b, batchId, n) }
+    if (rows.nonEmpty)
       rows.toDS().toDF().write.mode("overwrite")
-        .parquet(s"$outDir/_lineage/batch_id=$batchId")
-      val total = rows.map(_.n_rows).sum
-      Seq(graft.model.MetricRow("stream_ingest", batchId.toInt, total, total,
-        System.nanoTime() - t0)).toDS().toDF()
-        .write.mode("overwrite").parquet(s"$outDir/_metrics/batch_id=$batchId")
-    }
+        .parquet(s"$outDir/_lineage/batch-$batchId")
+    // The metrics row is written for EVERY batch (empty ones included) so
+    // the sidecar exists whenever at least one micro-batch committed; the
+    // sink passes rows through, hence rows_in == rows_out (StreamMetricRow).
+    val total = observed.get("total") match { case Some(n: Long) => n; case _ => 0L }
+    Seq(graft.model.StreamMetricRow("stream_ingest", batchId, total, total,
+      System.nanoTime() - t0)).toDS().toDF()
+      .write.mode("overwrite").parquet(s"$outDir/_metrics/batch-$batchId")
   }
 
   /** [[runTriplesStreamOnce]] with the materialized sink: same AvailableNow
     * drain + checkpoint resume, but through [[materializedBatchWriter]] so
     * the output is the partitioned table + lineage + metrics sidecars.
     * Readers: `spark.read.parquet(s"$outDir/triples")` (batch_id and bucket
-    * come back as partition columns).
+    * come back as partition columns); sidecars are read with a one-level
+    * glob over the batch dirs (dollar-outDir/_lineage/ star — spelled out
+    * because a literal star-after-slash opens a nested Scala comment here).
     */
   def runTriplesStreamMaterialized(spark: SparkSession, pagesDir: String,
       outDir: String, checkpointDir: String, gazetteer: Array[(String, String)],

@@ -47,8 +47,7 @@ class StreamingSpec extends SparkSpec {
     val canonDf = graft.canon.Canon.canonicalMap(ms)
     val batch = graft.relations.Relations.cooccurrence(ms)
       .unionByName(graft.relations.Relations.mentionedIn(ms, canonDf))
-    val canon = canonDf.collect()
-      .map(r => r.getAs[String]("surface") -> r.getAs[String]("canonical")).toMap
+    val canon = graft.canon.Canon.snapshot(canonDf)
     (pages, batch, canon)
   }
 
@@ -135,11 +134,14 @@ class StreamingSpec extends SparkSpec {
     assert(batchIdsAfterHalf.subsetOf(allBatchIds))
     // Lineage and metric sidecars: totals equal the table exactly.
     val nTable = table.count()
-    val lineage = spark.read.parquet(s"$out/_lineage")
+    val lineage = spark.read.parquet(s"$out/_lineage/*")
     assert(lineage.agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0) == nTable)
     assert(lineage.select("batch_id").distinct().count() == allBatchIds.size)
-    val metrics = spark.read.parquet(s"$out/_metrics")
+    val metrics = spark.read.parquet(s"$out/_metrics/*")
     assert(metrics.agg(org.apache.spark.sql.functions.sum("rows_out")).head.getLong(0) == nTable)
+    // one metrics row per committed batch, batch_id a typed Long data column
+    assert(metrics.select("batch_id").as[Long].collect().toSet ==
+      allBatchIds.map(_.toLong))
     // Idempotent replay: re-running one committed batch's writer must
     // OVERWRITE its batch-scoped dirs, not duplicate them (foreachBatch is
     // at-least-once on failure recovery).
@@ -153,7 +155,7 @@ class StreamingSpec extends SparkSpec {
       spark.createDataset(replayRows.toSeq), replayId)
     val after = spark.read.parquet(s"$out/triples")
     assert(after.count() == nTable, "replayed batch must not duplicate rows")
-    assert(spark.read.parquet(s"$out/_lineage")
+    assert(spark.read.parquet(s"$out/_lineage/*")
       .agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0) == nTable)
   }
 }
