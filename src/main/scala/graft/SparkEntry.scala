@@ -374,7 +374,7 @@ object SparkEntry {
     // riders: their row totals must equal the materialized table's count
     // (same A11 discipline as q_lineage) or the query throws.
     "q_stream_triples" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-flagship")
+      val tmp = graft.util.TempDirs.scratch("graft-stream-flagship")
       val in = s"$tmp/pages"; val out = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
       Pipeline.pages(s, dir).repartition(4).write.parquet(in)
       val canon = graft.canon.Canon.snapshot(Pipeline.canonCached(s, dir))

@@ -50,7 +50,7 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val gaz = graft.model.Gazetteer.all.toArray
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-bench")
+    val tmp = graft.util.TempDirs.scratch("graft-stream-bench")
     val in = s"$tmp/pages"
 
     // Stage the amplified corpus as an nFiles-file parquet feed (untimed —
