@@ -389,8 +389,11 @@ object SparkEntry {
           s.read.parquet(s"$out/_lineage/*")
             .agg(coalesce(sum(col("n_rows")), lit(0L))).head.getLong(0)
         else 0L
-      val nMetrics = s.read.parquet(s"$out/_metrics/*")
-        .agg(coalesce(sum(col("rows_out")), lit(0L))).head.getLong(0)
+      val nMetrics =
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/_metrics")))
+          s.read.parquet(s"$out/_metrics/*")
+            .agg(coalesce(sum(col("rows_out")), lit(0L))).head.getLong(0)
+        else 0L
       require(nLineage == nTable && nMetrics == nTable,
         s"stream sidecar drift: table=$nTable lineage=$nLineage metrics=$nMetrics")
       table.groupBy(col("subj"), col("pred"), col("obj"), col("url"))

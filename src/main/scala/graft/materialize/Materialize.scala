@@ -23,6 +23,10 @@ import graft.model.{MetricRow, Triple}
   */
 object Materialize {
 
+  /** batch_id widened Int → Long in round 4 (streaming checkpoint batch ids
+    * are Long): a lineage sidecar written by a pre-widening binary holds
+    * INT32 batch_id files and needs a one-time rewrite before a new-binary
+    * reader projects that column (bucket/n_rows reads are unaffected). */
   final case class LineageRow(table: String, bucket: Int, batch_id: Long, n_rows: Long)
 
   /** Deterministic bucket of a page url. In the sandbox corpus the doc id is

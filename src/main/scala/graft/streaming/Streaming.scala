@@ -58,7 +58,7 @@ object Streaming {
   }
 
   private def streamInputPath(events: DataFrame): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val dir = graft.util.TempDirs.scratch("graft-stream").toString
     events.write.mode("overwrite").parquet(dir)
     dir
   }
@@ -216,6 +216,13 @@ object Streaming {
     if (rows.nonEmpty)
       rows.toDS().toDF().write.mode("overwrite")
         .parquet(s"$outDir/_lineage/batch-$batchId")
+    else
+      // A replayed batch can legitimately shrink to zero rows (at-least-once
+      // recovery after the inputs' effective content changed); truncating
+      // the batch's lineage dir keeps the idempotency contract — a stale
+      // non-empty lineage from the failed attempt must not survive.
+      graft.util.TempDirs.delete(
+        java.nio.file.Paths.get(s"$outDir/_lineage/batch-$batchId"))
     // The metrics row is written for EVERY batch (empty ones included) so
     // the sidecar exists whenever at least one micro-batch committed; the
     // sink passes rows through, hence rows_in == rows_out (StreamMetricRow).

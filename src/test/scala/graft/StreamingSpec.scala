@@ -139,9 +139,11 @@ class StreamingSpec extends SparkSpec {
     assert(lineage.select("batch_id").distinct().count() == allBatchIds.size)
     val metrics = spark.read.parquet(s"$out/_metrics/*")
     assert(metrics.agg(org.apache.spark.sql.functions.sum("rows_out")).head.getLong(0) == nTable)
-    // one metrics row per committed batch, batch_id a typed Long data column
-    assert(metrics.select("batch_id").as[Long].collect().toSet ==
-      allBatchIds.map(_.toLong))
+    // metrics cover every batch that LANDED rows (committed empty batches
+    // also get a metrics row, so superset, not equality), batch_id a typed
+    // Long data column
+    assert(allBatchIds.map(_.toLong)
+      .subsetOf(metrics.select("batch_id").as[Long].collect().toSet))
     // Idempotent replay: re-running one committed batch's writer must
     // OVERWRITE its batch-scoped dirs, not duplicate them (foreachBatch is
     // at-least-once on failure recovery).
@@ -157,5 +159,14 @@ class StreamingSpec extends SparkSpec {
     assert(after.count() == nTable, "replayed batch must not duplicate rows")
     assert(spark.read.parquet(s"$out/_lineage/*")
       .agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0) == nTable)
+    // A replay that shrinks to ZERO rows must truncate the batch's stale
+    // lineage dir (not leave the failed attempt's counts behind).
+    Streaming.materializedBatchWriter(out)(
+      spark.emptyDataset[graft.model.Triple], replayId)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/_lineage/batch-$replayId")))
+    assert(spark.read.parquet(s"$out/_lineage/*")
+      .agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0)
+      == nTable - replayRows.length)
   }
 }
