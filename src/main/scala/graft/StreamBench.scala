@@ -9,16 +9,19 @@ import org.apache.spark.sql.SparkSession
   * BENCH/BASELINE.md.
   *
   * Protocol (same noise discipline as graft.Bench):
-  *  - the batch flagship runs ONCE untimed first — it is simultaneously the
-  *    JVM/codegen warm-up and the equivalence oracle (the streamed sink's
-  *    row count must equal the batch triple count exactly, `require`d);
+  *  - the batch flagship runs ONCE untimed first, over the SAME staged feed
+  *    the stream drains — it is simultaneously the JVM/codegen warm-up and
+  *    the equivalence oracle (the streamed sink's content fingerprint —
+  *    row count AND mod-2^64 xxhash64 sum — must equal the batch
+  *    flagship's exactly, `require`d on every rep);
   *  - the drain then runs SPARK_GRAFT_STREAM_REPS (default 3) times into
   *    fresh sink+checkpoint dirs over the same staged input; reported
   *    figure is the min, with raw reps + min/median noise check in the JSON;
-  *  - the canonical alias snapshot is built batch-side and broadcast, and is
-  *    NOT part of the timed drain — in the lambda split it is the periodic
-  *    batch job's output, refreshed at a much coarser cadence than ingest.
-  *    Its one-time cost is reported separately as `canon_snapshot_sec`.
+  *  - the canonical alias snapshot is built batch-side FROM THE SAME FEED
+  *    and broadcast, and is NOT part of the timed drain — in the lambda
+  *    split it is the periodic batch job's output, refreshed at a much
+  *    coarser cadence than ingest. Its cost is reported separately as
+  *    `canon_snapshot_sec`.
   *
   * Knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_AMPLIFY (default
   * 40 — same corpus as the batch flagship record),
@@ -58,14 +61,29 @@ object StreamBench {
     graft.sources.Pages.synthesizeAmplified(spark, sfDir, amplify)
       .repartition(nFiles).write.parquet(in)
 
-    // Batch flagship once: warm-up + the count the stream must reproduce.
-    val nTriples = graft.pipeline.Pipeline.flagshipCount(spark, sfDir, amplify)
-
-    // Periodic batch job's alias snapshot (surface dimension is amplify-
-    // invariant, so the unamplified corpus yields the identical map).
+    // Batch flagship over the STAGED feed itself: warm-up + the content
+    // fingerprint (row count AND mod-2^64 sum of per-row xxhash64) the
+    // stream must reproduce exactly — count equality alone masks
+    // same-cardinality content drift at a scale where the grouped-multiset
+    // spec compare is unaffordable. The alias snapshot comes from the same
+    // feed too: amplified copies derive new doc ids, which shifts the plant
+    // arithmetic, so per-surface mention counts (the canonical ranking's
+    // tiebreaker) differ from the unamplified corpus — a snapshot built
+    // elsewhere is a DIFFERENT periodic-batch output, and the round-4
+    // fingerprint upgrade caught exactly that mismatch riding the old
+    // count-only check.
+    import spark.implicits._
+    val pagesPq = spark.read.parquet(in).as[graft.model.Page]
+    val ms = graft.mentions.Mentions
+      .scanWithRecall(graft.extract.Extract.segments(pagesPq), gaz).cache()
     val t0c = System.nanoTime()
-    val canon = graft.canon.Canon.snapshot(graft.pipeline.Pipeline.canonCached(spark, sfDir))
+    val canonDf = graft.canon.Canon.canonicalMap(ms)
+    val canon = graft.canon.Canon.snapshot(canonDf)
     val canonSec = (System.nanoTime() - t0c) / 1e9
+    val (nTriples, batchSum) = graft.pipeline.Pipeline.tripleChecksum(
+      graft.relations.Relations.cooccurrence(ms)
+        .unionByName(graft.relations.Relations.mentionedIn(ms, canonDf)).toDF())
+    ms.unpersist()
 
     val repTimes = (1 to reps).map { r =>
       val out = s"$tmp/sink$r"; val ckpt = s"$tmp/ckpt$r"
@@ -73,9 +91,11 @@ object StreamBench {
       graft.streaming.Streaming.runTriplesStreamOnce(
         spark, in, out, ckpt, gaz, canon, maxFilesPerTrigger = perTrigger)
       val sec = (System.nanoTime() - t0) / 1e9
-      val streamed = spark.read.parquet(out).count()
-      require(streamed == nTriples,
-        s"stream drained $streamed triples, batch flagship emitted $nTriples")
+      val (streamed, streamSum) =
+        graft.pipeline.Pipeline.tripleChecksum(spark.read.parquet(out))
+      require(streamed == nTriples && streamSum == batchSum,
+        s"stream sink fingerprint ($streamed, $streamSum) != batch flagship " +
+          s"($nTriples, $batchSum)")
       sec
     }
     val drainSec = repTimes.min

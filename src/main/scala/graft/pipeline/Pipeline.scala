@@ -91,13 +91,36 @@ object Pipeline {
     * one JVM (Bench min-of-3, ScalingBench interleaving) don't accumulate
     * cached Datasets across iterations.
     */
-  def flagshipCount(spark: SparkSession, sfDir: String, factor: Int): Long = {
+  def flagshipCount(spark: SparkSession, sfDir: String, factor: Int): Long =
+    flagshipChecksum(spark, sfDir, factor)._1
+
+  /** Order-insensitive content fingerprint of a triple set: row count plus
+    * the SUM (mod 2^64) of per-row xxhash64 over all five columns. Sum, not
+    * xor: xor cancels even multiplicities, so (count, sum-of-hashes) pins
+    * the multiset far tighter — StreamBench requires the streamed sink's
+    * fingerprint equal the batch flagship's at full amplified scale, not
+    * just the row count.
+    */
+  def tripleChecksum(triples: DataFrame): (Long, Long) = {
+    // hash sum via decimal(38,0): a raw long sum overflows (and THROWS under
+    // Spark 4's default ANSI mode) within a handful of rows; BigDecimal
+    // .longValue() truncates to the low 64 bits = the intended mod-2^64 sum
+    val r = triples.agg(
+      count(lit(1)),
+      sum(xxhash64(col("subj"), col("pred"), col("obj"), col("url"), col("score"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getDecimal(1).toBigInteger.longValue())
+  }
+
+  /** [[flagshipCount]] that also fingerprints the result — one job, same
+    * cost shape as a plain count (map-side-combinable aggregate). */
+  def flagshipChecksum(spark: SparkSession, sfDir: String, factor: Int): (Long, Long) = {
     val pages = Pages.synthesizeAmplified(spark, sfDir, factor)
     val ms = Mentions.scanWithRecall(Extract.segments(pages), Gazetteer.all.toArray).cache()
     try {
       val cooc = Relations.cooccurrence(ms)
       val prov = Relations.mentionedIn(ms, Canon.canonicalMap(ms))
-      cooc.unionByName(prov).toDF().count()
+      tripleChecksum(cooc.unionByName(prov).toDF())
     } finally ms.unpersist()
   }
 }
