@@ -284,15 +284,9 @@ object SparkEntry {
     // --- materialize + lineage (checkpoint-resume surface) ----------------
     "q_lineage" -> ((s, dir) => {
       import graft.materialize.Materialize
-      // deterministic per-sfDir dir, wiped at entry (no leak across runs)
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft-q-lineage-" +
-        Integer.toHexString(dir.hashCode)
-      val p = java.nio.file.Paths.get(out)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
+      // fresh scratch dir per invocation, torn down by TempDirs' single
+      // JVM-exit hook — the one cleanup discipline every scratch path uses
+      val out = graft.util.TempDirs.scratch("graft-q-lineage").toString
       // cache across the two write calls: the resume check below re-derives
       // pending work (that's the semantics), but need not re-run the whole
       // triple pipeline for it
@@ -380,7 +374,19 @@ object SparkEntry {
       val canon = graft.canon.Canon.snapshot(Pipeline.canonCached(s, dir))
       graft.streaming.Streaming.runTriplesStreamMaterialized(s, in, out, ckpt,
         graft.model.Gazetteer.all.toArray, canon)
-      val table = s.read.parquet(s"$out/triples")
+      // Guard the table read like the sidecars: a drain that commits zero
+      // batches (or only empty ones) leaves the dir missing, and parquet
+      // schema inference would throw — fall back to an empty triple table
+      // so the all-empty case compares 0 = 0 end to end.
+      val table =
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/triples"))) {
+          import s.implicits._
+          s.read.parquet(s"$out/triples").select(
+            col("subj"), col("pred"), col("obj"), col("url"), col("score"))
+        } else {
+          import s.implicits._
+          s.emptyDataset[graft.model.Triple].toDF()
+        }
       val nTable = table.count()
       // _metrics exists for every committed batch; _lineage only for batches
       // that wrote rows (both null-safe, so an all-empty drain compares 0=0).

@@ -25,9 +25,80 @@ object Materialize {
 
   /** batch_id widened Int → Long in round 4 (streaming checkpoint batch ids
     * are Long): a lineage sidecar written by a pre-widening binary holds
-    * INT32 batch_id files and needs a one-time rewrite before a new-binary
-    * reader projects that column (bucket/n_rows reads are unaffected). */
+    * INT32 batch_id files; [[migrateLineage]] performs the one-time rewrite,
+    * and [[readLineage]] runs it automatically (once per JVM per sidecar)
+    * before any read or append can hit the mixed-schema dir. */
   final case class LineageRow(table: String, bucket: Int, batch_id: Long, n_rows: Long)
+
+  // Sidecar dirs already footer-checked (and migrated if needed) this JVM —
+  // the check is driver-side parquet-footer reads, cheap for a
+  // dimension-sized sidecar but pointless to repeat on every resume lookup.
+  private val lineageVerified =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def lineagePartFiles(outDir: String): Seq[java.nio.file.Path] = {
+    val dir = java.nio.file.Paths.get(lineagePath(outDir))
+    if (!java.nio.file.Files.exists(dir)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(dir)
+      try ls.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toList
+      finally ls.close()
+    }
+  }
+
+  /** Flat-sidecar part files whose footer carries the pre-widening INT32
+    * batch_id. Driver-side footer reads only — zero Spark jobs. (The
+    * streaming sink's per-batch sidecar dirs postdate the widening and are
+    * batch-scoped OVERWRITE, so only this flat append-mode layout can mix
+    * schemas.) */
+  private def int32LineageFiles(outDir: String): Seq[java.nio.file.Path] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val conf = new org.apache.hadoop.conf.Configuration()
+    lineagePartFiles(outDir).filter { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toString), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val schema = r.getFooter.getFileMetaData.getSchema
+        schema.containsField("batch_id") && {
+          val t = schema.getType(schema.getFieldIndex("batch_id"))
+          t.isPrimitive &&
+            t.asPrimitiveType().getPrimitiveTypeName == PrimitiveTypeName.INT32
+        }
+      } finally r.close()
+    }
+  }
+
+  /** One-time migration of a pre-round-4 lineage sidecar: rewrites every
+    * part file with batch_id widened INT32 → INT64 so the dir reads under
+    * one schema again. No-op (returns false) when the sidecar is absent or
+    * already uniformly Long. Each part file is read under its OWN footer
+    * schema (a dir-level read of the mixed dir is exactly what fails), so
+    * old and new files coexist safely during the rewrite. The swap keeps a
+    * full backup until the new dir is live: live → `_lineage.pre_migration`,
+    * rewritten → live, backup deleted — a crash mid-swap leaves either the
+    * original or the migrated dir complete, never a torn one.
+    */
+  def migrateLineage(spark: SparkSession, outDir: String): Boolean = {
+    if (int32LineageFiles(outDir).isEmpty) return false
+    val widened = lineagePartFiles(outDir)
+      .map(p => spark.read.parquet(p.toString)
+        .withColumn("batch_id", col("batch_id").cast("long"))
+        .select(col("table"), col("bucket"), col("batch_id"), col("n_rows")))
+      .reduce(_.unionByName(_))
+    val live = java.nio.file.Paths.get(lineagePath(outDir))
+    val staged = java.nio.file.Paths.get(lineagePath(outDir) + ".migrated")
+    val backup = java.nio.file.Paths.get(lineagePath(outDir) + ".pre_migration")
+    graft.util.TempDirs.delete(staged)
+    widened.write.mode("overwrite").parquet(staged.toString)
+    graft.util.TempDirs.delete(backup)
+    java.nio.file.Files.move(live, backup)
+    java.nio.file.Files.move(staged, live)
+    graft.util.TempDirs.delete(backup)
+    true
+  }
 
   /** Deterministic bucket of a page url. In the sandbox corpus the doc id is
     * embedded in the url path, so bucketing is reproducible in the DuckDB
@@ -42,9 +113,12 @@ object Materialize {
   def readLineage(spark: SparkSession, outDir: String): DataFrame = {
     import spark.implicits._
     val p = java.nio.file.Paths.get(lineagePath(outDir))
-    if (java.nio.file.Files.exists(p))
+    if (java.nio.file.Files.exists(p)) {
+      // Resuming a pre-widening sink: widen any INT32 batch_id files ONCE
+      // before this dir is read (or appended to) under the Long schema.
+      if (lineageVerified.add(lineagePath(outDir))) migrateLineage(spark, outDir)
       spark.read.parquet(lineagePath(outDir))
-    else spark.emptyDataset[LineageRow].toDF()
+    } else spark.emptyDataset[LineageRow].toDF()
   }
 
   /** Buckets already completed for `table` (the checkpoint state). */

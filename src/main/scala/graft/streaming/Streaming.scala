@@ -95,6 +95,15 @@ object Streaming {
     * standard lambda split for entity resolution over an append-only feed.
     * StreamingSpec asserts the stream's output equals the batch flagship's
     * cooccurrence ∪ mentionedIn triples on the same corpus.
+    *
+    * PRECONDITION (batch-equivalence): urls are UNIQUE across the feed —
+    * each page arrives exactly once. Provenance dedup is page-local
+    * ([[Relations.provLocal]]); a feed that repeats a url (re-crawls,
+    * upstream dupes) emits duplicate (canonical, mentioned_in, url) triples
+    * where the batch form dedups globally. StreamBench's content-fingerprint
+    * `require` catches a violation loudly; feeds that may repeat urls must
+    * dedup upstream or compact the sink ([[Recanon.recanonicalize]] dedups
+    * provenance per batch as a side effect, but not across batches).
     */
   def pageTriples(pages: Dataset[Page], gazetteer: Array[(String, String)],
       canonSnapshot: Map[String, String],
@@ -130,7 +139,8 @@ object Streaming {
     * pages (the file-source stand-in for a Kafka/WARC feed), through
     * [[pageTriples]]. Append-mode, watermark-free (the plan is stateless),
     * exactly-once with a file sink + checkpointLocation. `maxFilesPerTrigger`
-    * bounds micro-batch size — backpressure for a bursty source.
+    * bounds micro-batch size — backpressure for a bursty source. Inherits
+    * [[pageTriples]]'s unique-url feed precondition.
     */
   def triplesStream(spark: SparkSession, pagesDir: String,
       gazetteer: Array[(String, String)], canonSnapshot: Map[String, String],
