@@ -371,9 +371,14 @@ object SparkEntry {
       val tmp = graft.util.TempDirs.scratch("graft-stream-flagship")
       val in = s"$tmp/pages"; val out = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
       Pipeline.pages(s, dir).repartition(4).write.parquet(in)
-      val canon = graft.canon.Canon.snapshot(Pipeline.canonCached(s, dir))
+      // snapshotBounded: the production gate — resolves to the closure-map
+      // shape at this dimension; past Canon.SnapshotMaxRows it would keep
+      // the DataFrame and the sink would join (same output either way,
+      // StreamingSpec pins the equivalence on a forced join branch).
+      val canon = graft.canon.Canon.snapshotBounded(Pipeline.canonCached(s, dir))
       graft.streaming.Streaming.runTriplesStreamMaterialized(s, in, out, ckpt,
-        graft.model.Gazetteer.all.toArray, canon)
+        graft.model.Gazetteer.all.toArray, canon, maxFilesPerTrigger = 1,
+        nBuckets = 16)
       // Guard the table read like the sidecars: a drain that commits zero
       // batches (or only empty ones) leaves the dir missing, and parquet
       // schema inference would throw — fall back to an empty triple table
@@ -402,6 +407,43 @@ object SparkEntry {
         else 0L
       require(nLineage == nTable && nMetrics == nTable,
         s"stream sidecar drift: table=$nTable lineage=$nLineage metrics=$nMetrics")
+      table.groupBy(col("subj"), col("pred"), col("obj"), col("url"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // The lambda split's missing half, oracle-gated: drain the feed with a
+    // DELIBERATELY STALE alias snapshot (the identity map — the shape of a
+    // sink materialized before the periodic canon job ever ran), then
+    // compact with the fresh canonical map (Recanon.recanonicalize). The
+    // compacted table must hash-match the batch flagship's triples (same
+    // oracle as q_stream_triples); hard riders: at least one batch was
+    // rewritten, a second compaction under the same map is the zero-rewrite
+    // fast path, and the refreshed lineage/metric sidecars still equal the
+    // table count exactly.
+    "q_stream_recanon" -> ((s, dir) => {
+      import graft.streaming.Recanon
+      val tmp = graft.util.TempDirs.scratch("graft-stream-recanon")
+      val in = s"$tmp/pages"; val out = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+      Pipeline.pages(s, dir).repartition(4).write.parquet(in)
+      val canonDf = Pipeline.canonCached(s, dir)
+      val staleSnapshot = graft.canon.Canon.snapshot(canonDf)
+        .keysIterator.map(k => k -> k).toMap
+      graft.streaming.Streaming.runTriplesStreamMaterialized(s, in, out, ckpt,
+        graft.model.Gazetteer.all.toArray, staleSnapshot)
+      val report = Recanon.recanonicalize(s, out, canonDf)
+      require(report.batchesRewritten.nonEmpty,
+        "stale drain must trigger at least one batch rewrite")
+      val again = Recanon.recanonicalize(s, out, canonDf)
+      require(again.batchesRewritten.isEmpty,
+        s"re-compaction must be the fast path, rewrote ${again.batchesRewritten}")
+      val table = s.read.parquet(s"$out/triples")
+      val nTable = table.count()
+      val nLineage = s.read.parquet(s"$out/_lineage/*")
+        .agg(coalesce(sum(col("n_rows")), lit(0L))).head.getLong(0)
+      val nMetrics = s.read.parquet(s"$out/_metrics/*")
+        .agg(coalesce(sum(col("rows_out")), lit(0L))).head.getLong(0)
+      require(nLineage == nTable && nMetrics == nTable,
+        s"post-compaction sidecar drift: table=$nTable lineage=$nLineage metrics=$nMetrics")
       table.groupBy(col("subj"), col("pred"), col("obj"), col("url"))
         .agg(count(lit(1)).as("n"))
     })
@@ -457,6 +499,9 @@ object SparkEntry {
     "q_media_frames" -> OracleOps.qMediaFrames,
     "q_events_window" -> OracleOps.qEventsWindow,
     "q_sessions" -> OracleOps.qSessions,
-    "q_stream_triples" -> Oracle.qStreamTriples
+    "q_stream_triples" -> Oracle.qStreamTriples,
+    // Same oracle as q_stream_triples: after compaction the stale-drained
+    // sink must equal the batch flagship's triples exactly.
+    "q_stream_recanon" -> Oracle.qStreamTriples
   )
 }

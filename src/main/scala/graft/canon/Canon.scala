@@ -439,9 +439,43 @@ object Canon {
   /** Collect a [[canonicalMap]] result into the broadcastable alias snapshot
     * (surface → canonical) the streaming flagship rewrites provenance
     * through. Dimension-sized by construction — one row per distinct
-    * surface, never per mention.
+    * surface, never per mention. UNBOUNDED driver collect: callers on the
+    * streaming path must go through [[snapshotBounded]], which falls back
+    * to the DataFrame form past [[SnapshotMaxRows]] instead of OOMing the
+    * driver at a 10⁸-10⁹-surface dimension.
     */
   def snapshot(canonMap: DataFrame): Map[String, String] =
     canonMap.collect()
       .map(r => r.getAs[String]("surface") -> r.getAs[String]("canonical")).toMap
+
+  /** Alias snapshot for the streaming flagship, in one of two shapes:
+    *  - [[AliasMap]]: a plain driver map, broadcast into the fused per-page
+    *    stage's task closure — provenance rewrite costs a hash lookup, the
+    *    micro-batch stays map-only. Right up to millions of surfaces.
+    *  - [[AliasFrame]]: the canonical map kept as a DataFrame; the fused
+    *    stage emits RAW (surface) provenance and the sink rewrites it with
+    *    an equi-join per micro-batch
+    *    ([[graft.streaming.Streaming.rewriteProv]]). Catalyst broadcasts
+    *    the dimension side while it fits `autoBroadcastJoinThreshold` and
+    *    shuffles past it — the job stays runnable at any dimension size.
+    */
+  sealed trait AliasSnapshot
+  final case class AliasMap(map: Map[String, String]) extends AliasSnapshot
+  final case class AliasFrame(df: DataFrame) extends AliasSnapshot
+
+  /** Default gate between the two [[AliasSnapshot]] shapes. 5M two-string
+    * rows ≈ low hundreds of MB as a Java map — comfortably inside a
+    * production driver/executor heap; past that the closure-serialized map
+    * becomes the job's biggest object and the DataFrame join wins.
+    */
+  val SnapshotMaxRows = 5000000L
+
+  /** [[snapshot]] gated on the canon map's row count (one small aggregate
+    * over the dimension table, paid once per periodic batch refresh):
+    * at/below `maxRows` collect the driver map, above it keep the DataFrame.
+    */
+  def snapshotBounded(canonMap: DataFrame,
+      maxRows: Long = SnapshotMaxRows): AliasSnapshot =
+    if (canonMap.count() <= maxRows) AliasMap(snapshot(canonMap))
+    else AliasFrame(canonMap)
 }

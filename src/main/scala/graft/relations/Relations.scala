@@ -68,6 +68,11 @@ object Relations {
     }.toList
   }
 
+  /** The provenance predicate — never appears in [[rules]], so provenance
+    * and co-occurrence triples are distinguishable by pred alone (the
+    * streaming sink's deferred rewrite depends on this). */
+  val ProvPred = "mentioned_in"
+
   /** List-local form of [[mentionedIn]] for ONE page's mentions: canonical
     * rewrite through a broadcast alias snapshot + per-url dedup. Exact
     * because urls are unique per page, so page-local distinct == the batch
@@ -77,7 +82,18 @@ object Relations {
   def provLocal(ms: Seq[Mention], url: String, canon: Map[String, String]): List[Triple] =
     ms.iterator.filter(_.label == "PERSON")
       .flatMap(m => canon.get(m.surface)).toList.distinct
-      .map(c => Triple(c, "mentioned_in", url, url, 1.0))
+      .map(c => Triple(c, ProvPred, url, url, 1.0))
+
+  /** [[provLocal]] without the canonical rewrite: page-local distinct RAW
+    * person surfaces as provenance subjects. The alias-dimension form of
+    * the streaming flagship ([[graft.canon.Canon.AliasFrame]]) emits these
+    * from the fused stage and joins subj → canonical at the sink
+    * ([[graft.streaming.Streaming.rewriteProv]]), so the fused stage never
+    * needs the alias map in its closure.
+    */
+  def provLocalRaw(ms: Seq[Mention], url: String): List[Triple] =
+    ms.iterator.filter(_.label == "PERSON").map(_.surface).toList.distinct
+      .map(s => Triple(s, ProvPred, url, url, 1.0))
 
   /** Connector-word → predicate table for pattern extraction. */
   val patternPreds: Map[String, String] = Map(
@@ -128,7 +144,7 @@ object Relations {
     mentions.toDF()
       .filter(col("label") === "PERSON")
       .join(broadcast(canonicalMap), "surface")
-      .select(col("canonical").as("subj"), lit("mentioned_in").as("pred"),
+      .select(col("canonical").as("subj"), lit(ProvPred).as("pred"),
         col("url").as("obj"), col("url"), lit(1.0).as("score"))
       .distinct()
       .as[Triple]

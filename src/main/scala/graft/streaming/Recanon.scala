@@ -1,0 +1,214 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.relations.Relations
+
+/** Re-canonicalization compaction — the lambda split's missing half.
+  *
+  * The streaming flagship rewrites provenance through the alias snapshot
+  * current at drain time ([[Streaming.pageTriples]]); when the periodic
+  * batch job later produces a FRESH canonical map, triples materialized
+  * under the old snapshot keep stale canonical subjects forever unless the
+  * sink is compacted. This job is the streaming-era form of the reference's
+  * retroactive alias merge (EntitiesDict.merge_entities,
+  * src/ollama_entity_extraction/data_model/EntitiesDict.py:27-32): it
+  * identifies exactly the micro-batch partitions whose provenance subjects
+  * changed under the new map and rewrites ONLY those, batch-scoped, with
+  * the sink's own lineage/metrics discipline.
+  *
+  * Scale shape: stale detection is one narrow scan + dimension join over
+  * the provenance slice of the table (predicate `pred == ProvPred` prunes
+  * the co-occurrence majority); the rewrite is ONE job writing all affected
+  * (batch_id, bucket) partitions via dynamic partition overwrite — never a
+  * per-batch driver loop over data. Only the sidecar refresh loops
+  * driver-side, one tiny metadata write per rewritten batch (the same unit
+  * of work the streaming sink itself pays per micro-batch). The alias map
+  * joins without a broadcast hint, so Catalyst broadcasts it while it fits
+  * and shuffles past that — the same unbounded-dimension policy as
+  * [[Streaming.rewriteProv]].
+  *
+  * Idempotency: canonical representatives map to themselves in a
+  * [[graft.canon.Canon.canonicalMap]] output, so a second compaction under
+  * the same map detects zero stale rows and takes the fast path (zero
+  * partitions rewritten, no jobs beyond the detection scan). Crash window:
+  * the data rewrite commits as one job; a crash between it and the sidecar
+  * refresh leaves lineage totals ≠ table counts, which the standard sidecar
+  * rider (q_stream_triples / q_stream_recanon `require`) detects loudly and
+  * [[repairSidecars]] remedies from the table itself.
+  */
+object Recanon {
+
+  /** One row per rewritten batch in the `_compactions/compact-<k>` record. */
+  final case class CompactionRow(compaction_id: Long, batch_id: Long,
+      rows_before: Long, rows_after: Long, nanos: Long)
+
+  final case class CompactionReport(compactionId: Long,
+      batchesRewritten: Seq[Long], rowsBefore: Long, rowsAfter: Long)
+
+  private def exists(p: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+
+  /** Rewrite every materialized micro-batch whose provenance subjects are
+    * stale under `canonMap` (fresh surface → canonical alias table). A
+    * subject is stale when the map sends it elsewhere OR no longer contains
+    * it (the batch flagship's inner join would drop it). Returns the
+    * compaction report; fast-path (no stale batch) performs no writes.
+    */
+  def recanonicalize(spark: SparkSession, outDir: String, canonMap: DataFrame,
+      nBuckets: Int = 16): CompactionReport = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    if (!exists(s"$outDir/triples"))
+      return CompactionReport(-1L, Nil, 0L, 0L)
+    val table = spark.read.parquet(s"$outDir/triples")
+    val alias = canonMap.select(col("surface"), col("canonical"))
+
+    // Stale detection: provenance slice × alias dimension, left join so a
+    // dropped surface (null canonical) counts as stale too.
+    val staleBatches = table
+      .filter(col("pred") === Relations.ProvPred)
+      .join(alias, col("subj") === alias("surface"), "left")
+      .filter(col("canonical").isNull || col("canonical") =!= col("subj"))
+      .select(col("batch_id").cast("long"))
+      .distinct().as[Long].collect().sorted.toSeq
+    if (staleBatches.isEmpty)
+      return CompactionReport(-1L, Nil, 0L, 0L)
+
+    // Per-batch BEFORE counts from the lineage sidecars (the sink's
+    // invariant: lineage == table, so no extra scan of the data); a lost
+    // sidecar degrades the audit row to 0, never fails the compaction.
+    val beforeByBatch: Map[Long, Long] =
+      if (!exists(s"$outDir/_lineage")) Map.empty
+      else spark.read.parquet(s"$outDir/_lineage/*")
+        .filter(col("batch_id").isin(staleBatches: _*))
+        .groupBy(col("batch_id")).agg(sum(col("n_rows")).as("n"))
+        .as[(Long, Long)].collect().toMap
+    // On-disk buckets per stale batch BEFORE the rewrite — dynamic
+    // partition overwrite replaces only partitions present in the new data,
+    // so a bucket whose rows all vanish (subjects dropped by the fresh map)
+    // must be deleted explicitly afterwards.
+    val diskBucketsBefore: Map[Long, Set[Int]] = staleBatches.map { b =>
+      val d = java.nio.file.Paths.get(s"$outDir/triples/batch_id=$b")
+      val set =
+        if (!java.nio.file.Files.exists(d)) Set.empty[Int]
+        else {
+          import scala.jdk.CollectionConverters._
+          val ls = java.nio.file.Files.list(d)
+          try ls.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("bucket="))
+            .map(_.stripPrefix("bucket=").toInt).toSet
+          finally ls.close()
+        }
+      b -> set
+    }.toMap
+
+    // Rewrite: co-occurrence rows pass through; provenance rows join to
+    // their fresh canonical and dedup per batch (urls unique per feed and
+    // pages batch-local, so batch-level distinct == the batch flagship's
+    // global distinct — Streaming.pageTriples' stated precondition).
+    val stale = table.filter(col("batch_id").isin(staleBatches: _*))
+    val keep = Seq(col("subj"), col("pred"), col("obj"), col("url"),
+      col("score"), col("batch_id"), col("bucket"))
+    val cooc = stale.filter(col("pred") =!= Relations.ProvPred).select(keep: _*)
+    val prov = stale.filter(col("pred") === Relations.ProvPred)
+      .join(alias, col("subj") === alias("surface"))
+      .select((col("canonical").as("subj") +: keep.tail): _*)
+      .distinct()
+    val rewritten = cooc.unionByName(prov).cache()
+    try {
+      // ONE data job: all affected (batch_id, bucket) partitions at once.
+      rewritten
+        .repartition(col("batch_id"), col("bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "bucket")
+        .parquet(s"$outDir/triples")
+      val counts = rewritten
+        .groupBy(col("batch_id").cast("long").as("b"), col("bucket").cast("int").as("k"))
+        .agg(count(lit(1)).as("n"))
+        .as[(Long, Int, Long)].collect()
+      val byBatch = counts.groupBy(_._1)
+      // Emptied partitions: on disk before, absent from the rewrite.
+      staleBatches.foreach { b =>
+        val after = byBatch.getOrElse(b, Array.empty[(Long, Int, Long)]).map(_._2).toSet
+        (diskBucketsBefore.getOrElse(b, Set.empty) -- after).foreach { k =>
+          graft.util.TempDirs.delete(
+            java.nio.file.Paths.get(s"$outDir/triples/batch_id=$b/bucket=$k"))
+        }
+      }
+      val nanos = System.nanoTime() - t0
+      // Sidecar refresh per rewritten batch — identical contract to
+      // Streaming.materializedBatchWriter (lineage dir truncated when the
+      // batch shrank to zero rows; metrics row written unconditionally).
+      staleBatches.foreach { b =>
+        val rows = byBatch.getOrElse(b, Array.empty[(Long, Int, Long)]).sortBy(_._2)
+          .map { case (_, k, n) =>
+            graft.materialize.Materialize.LineageRow("stream_triples", k, b, n) }
+          .toSeq
+        if (rows.nonEmpty)
+          rows.toDS().toDF().write.mode("overwrite")
+            .parquet(s"$outDir/_lineage/batch-$b")
+        else
+          graft.util.TempDirs.delete(
+            java.nio.file.Paths.get(s"$outDir/_lineage/batch-$b"))
+        val total = byBatch.getOrElse(b, Array.empty[(Long, Int, Long)]).map(_._3).sum
+        Seq(graft.model.StreamMetricRow("stream_recanon", b, total, total, nanos))
+          .toDS().toDF().write.mode("overwrite")
+          .parquet(s"$outDir/_metrics/batch-$b")
+      }
+      // Compaction record: an append-only audit trail of WHAT was rewritten
+      // and by how much, separate from the per-batch sidecars so their
+      // table-total invariants stay untouched.
+      val compactionId = nextCompactionId(outDir)
+      val report = staleBatches.map { b =>
+        CompactionRow(compactionId, b, beforeByBatch.getOrElse(b, 0L),
+          byBatch.getOrElse(b, Array.empty[(Long, Int, Long)]).map(_._3).sum, nanos)
+      }
+      report.toDS().toDF().write.mode("overwrite")
+        .parquet(s"$outDir/_compactions/compact-$compactionId")
+      CompactionReport(compactionId, staleBatches,
+        report.map(_.rows_before).sum, report.map(_.rows_after).sum)
+    } finally rewritten.unpersist()
+  }
+
+  private def nextCompactionId(outDir: String): Long = {
+    val d = java.nio.file.Paths.get(s"$outDir/_compactions")
+    if (!java.nio.file.Files.exists(d)) 0L
+    else {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(d)
+      try {
+        val ids = ls.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("compact-")).map(_.stripPrefix("compact-").toLong)
+        if (ids.isEmpty) 0L else ids.max + 1L
+      } finally ls.close()
+    }
+  }
+
+  /** Rebuild every batch's lineage and metrics sidecars from the table
+    * itself: the remediation for a crash between a compaction's data job
+    * and its sidecar refresh (or any external sidecar loss). One aggregate
+    * job over the table, then per-batch metadata writes. Metric rows are
+    * stamped stage `sidecar_repair` — original ingest wall-times are not
+    * reconstructable and are not faked.
+    */
+  def repairSidecars(spark: SparkSession, outDir: String): Unit = {
+    import spark.implicits._
+    if (!exists(s"$outDir/triples")) return
+    val counts = spark.read.parquet(s"$outDir/triples")
+      .groupBy(col("batch_id").cast("long").as("b"), col("bucket").cast("int").as("k"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, Int, Long)].collect()
+    counts.groupBy(_._1).foreach { case (b, rows) =>
+      rows.sortBy(_._2).map { case (_, k, n) =>
+        graft.materialize.Materialize.LineageRow("stream_triples", k, b, n) }
+        .toSeq.toDS().toDF().write.mode("overwrite")
+        .parquet(s"$outDir/_lineage/batch-$b")
+      val total = rows.map(_._3).sum
+      Seq(graft.model.StreamMetricRow("sidecar_repair", b, total, total, 0L))
+        .toDS().toDF().write.mode("overwrite")
+        .parquet(s"$outDir/_metrics/batch-$b")
+    }
+  }
+}

@@ -107,7 +107,23 @@ object Streaming {
     */
   def pageTriples(pages: Dataset[Page], gazetteer: Array[(String, String)],
       canonSnapshot: Map[String, String],
-      fuzzyThreshold: Double = graft.model.Config.TokenFuzzyThreshold): Dataset[Triple] = {
+      fuzzyThreshold: Double = graft.model.Config.TokenFuzzyThreshold): Dataset[Triple] =
+    fusedStage(pages, gazetteer, Some(canonSnapshot), fuzzyThreshold)
+
+  /** [[pageTriples]] without the closure alias map — the
+    * [[graft.canon.Canon.AliasFrame]] form for dimensions too large to
+    * driver-collect: provenance rows carry the RAW surface as subj
+    * ([[Relations.provLocalRaw]]) and the sink joins them to canonical via
+    * [[rewriteProv]] per micro-batch. Co-occurrence rows are identical to
+    * [[pageTriples]]'s.
+    */
+  def pageTriplesRaw(pages: Dataset[Page], gazetteer: Array[(String, String)],
+      fuzzyThreshold: Double = graft.model.Config.TokenFuzzyThreshold): Dataset[Triple] =
+    fusedStage(pages, gazetteer, None, fuzzyThreshold)
+
+  private def fusedStage(pages: Dataset[Page], gazetteer: Array[(String, String)],
+      canonSnapshot: Option[Map[String, String]],
+      fuzzyThreshold: Double): Dataset[Triple] = {
     val spark = pages.sparkSession
     import spark.implicits._
     val bcGaz = spark.sparkContext.broadcast(gazetteer)
@@ -130,9 +146,36 @@ object Streaming {
             pageMentions ++= ms
             Relations.coocLocal(ms, url)
           }
-          cooc ++ Relations.provLocal(pageMentions.result(), url, canon)
+          val prov = canon match {
+            case Some(c) => Relations.provLocal(pageMentions.result(), url, c)
+            case None => Relations.provLocalRaw(pageMentions.result(), url)
+          }
+          cooc ++ prov
         }
       }
+  }
+
+  /** Sink-side provenance rewrite for the [[graft.canon.Canon.AliasFrame]]
+    * path: raw-surface provenance rows (pred == [[Relations.ProvPred]],
+    * distinguishable because the predicate never occurs in the
+    * co-occurrence rules) equi-join subj → canonical against the alias
+    * DataFrame, then dedup — page-local surface-distinct leaves exactly the
+    * two-surfaces-one-canonical residue, and because urls are unique per
+    * feed and a page lands in ONE micro-batch, batch-level distinct equals
+    * the batch flagship's global distinct. No broadcast hint: Catalyst
+    * broadcasts the dimension side while it fits, shuffles past that —
+    * which is the whole point of this branch.
+    */
+  def rewriteProv(batch: Dataset[Triple], alias: DataFrame): Dataset[Triple] = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val df = batch.toDF()
+    val prov = df.filter(col("pred") === Relations.ProvPred)
+      .join(alias, col("subj") === alias("surface"))
+      .select(alias("canonical").as("subj"), col("pred"), col("obj"),
+        col("url"), col("score"))
+      .distinct()
+    df.filter(col("pred") =!= Relations.ProvPred).unionByName(prov).as[Triple]
   }
 
   /** Streaming form of the flagship: readStream over a parquet directory of
@@ -253,14 +296,45 @@ object Streaming {
   def runTriplesStreamMaterialized(spark: SparkSession, pagesDir: String,
       outDir: String, checkpointDir: String, gazetteer: Array[(String, String)],
       canonSnapshot: Map[String, String], maxFilesPerTrigger: Int = 1,
-      nBuckets: Int = 16): Unit = {
-    val q = triplesStream(spark, pagesDir, gazetteer, canonSnapshot, maxFilesPerTrigger)
+      nBuckets: Int = 16): Unit =
+    runTriplesStreamMaterialized(spark, pagesDir, outDir, checkpointDir,
+      gazetteer, graft.canon.Canon.AliasMap(canonSnapshot), maxFilesPerTrigger,
+      nBuckets)
+
+  /** [[runTriplesStreamMaterialized]] over either [[graft.canon.Canon
+    * .AliasSnapshot]] shape (use [[graft.canon.Canon.snapshotBounded]] to
+    * pick): AliasMap rewrites provenance inside the fused map-only stage;
+    * AliasFrame defers it to a per-micro-batch [[rewriteProv]] join in
+    * foreachBatch, keeping the job runnable when the alias dimension is too
+    * large to driver-collect. Both shapes produce identical sink contents
+    * (StreamingSpec pins the equivalence).
+    */
+  def runTriplesStreamMaterialized(spark: SparkSession, pagesDir: String,
+      outDir: String, checkpointDir: String, gazetteer: Array[(String, String)],
+      snapshot: graft.canon.Canon.AliasSnapshot, maxFilesPerTrigger: Int,
+      nBuckets: Int): Unit = {
+    import graft.canon.Canon.{AliasFrame, AliasMap}
+    val (stream, rewrite) = snapshot match {
+      case AliasMap(m) =>
+        (triplesStream(spark, pagesDir, gazetteer, m, maxFilesPerTrigger),
+          identity[Dataset[Triple]] _)
+      case AliasFrame(df) =>
+        import spark.implicits._
+        val pages = spark.readStream
+          .schema(Encoders.product[Page].schema)
+          .option("maxFilesPerTrigger", maxFilesPerTrigger)
+          .parquet(pagesDir)
+          .as[Page]
+        (pageTriplesRaw(pages, gazetteer),
+          (b: Dataset[Triple]) => rewriteProv(b, df))
+    }
+    val q = stream
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .foreachBatch((b: Dataset[Triple], id: Long) =>
-        materializedBatchWriter(outDir, nBuckets)(b, id))
+        materializedBatchWriter(outDir, nBuckets)(rewrite(b), id))
       .start()
     q.awaitTermination()
   }

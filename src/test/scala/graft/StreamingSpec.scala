@@ -103,6 +103,112 @@ class StreamingSpec extends SparkSpec {
     assert(grouped(streamed) == expected)
   }
 
+  test("AliasFrame branch (forced by a lowered snapshot bound) equals the AliasMap branch") {
+    import graft.canon.Canon
+    val (pages, batch, canon) = flagshipFixture
+    // Rebuild the canon DataFrame the fixture snapshot came from.
+    val canonDf = canon.toSeq.toDF("surface", "canonical")
+    // Gate checks: the tiny corpus is under the default bound (Map shape);
+    // maxRows = 0 forces the DataFrame shape.
+    assert(Canon.snapshotBounded(canonDf).isInstanceOf[Canon.AliasMap])
+    val snap = Canon.snapshotBounded(canonDf, maxRows = 0)
+    assert(snap.isInstanceOf[Canon.AliasFrame])
+    // The fused stage without the closure map + sink-side rewrite must
+    // reproduce the batch flagship exactly (grouped multisets).
+    val raw = Streaming.pageTriplesRaw(pages, gaz)
+    val rewritten = Streaming.rewriteProv(raw, canonDf)
+    assert(grouped(rewritten.collect()) == grouped(batch.collect()))
+    // End-to-end through the materialized sink on the join branch.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-frame-spec")
+    val in = s"$tmp/pages"; val out = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+    pages.repartition(4).write.parquet(in)
+    Streaming.runTriplesStreamMaterialized(spark, in, out, ckpt, gaz, snap,
+      maxFilesPerTrigger = 1, nBuckets = 16)
+    val streamed = spark.read.parquet(s"$out/triples")
+      .select("subj", "pred", "obj", "url", "score")
+      .as[graft.model.Triple].collect()
+    assert(grouped(streamed) == grouped(batch.collect()))
+  }
+
+  test("recanonicalize compacts a stale-drained sink to the batch flagship, selectively and idempotently") {
+    import graft.streaming.Recanon
+    val (pages, batch, canon) = flagshipFixture
+    val canonDf = canon.toSeq.toDF("surface", "canonical")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-recanon-spec")
+    val in = s"$tmp/pages"; val out = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+    pages.repartition(4).write.parquet(in)
+    // Drain under a deliberately STALE snapshot: identity over all surfaces.
+    val staleSnap = canon.keysIterator.map(k => k -> k).toMap
+    Streaming.runTriplesStreamMaterialized(spark, in, out, ckpt, gaz, staleSnap)
+    val allBatches = spark.read.parquet(s"$out/triples")
+      .select(col("batch_id").cast("long")).distinct().as[Long].collect().toSet
+
+    // Compact with the fresh map → table equals the batch flagship.
+    val report = Recanon.recanonicalize(spark, out, canonDf)
+    assert(report.batchesRewritten.nonEmpty)
+    assert(report.batchesRewritten.toSet.subsetOf(allBatches))
+    assert(report.rowsAfter <= report.rowsBefore) // dedup can only shrink
+    val compacted = spark.read.parquet(s"$out/triples")
+      .select("subj", "pred", "obj", "url", "score")
+      .as[graft.model.Triple].collect()
+    assert(grouped(compacted) == grouped(batch.collect()))
+    // Sidecars refreshed: lineage total == metrics total == table count.
+    val nTable = compacted.length.toLong
+    assert(spark.read.parquet(s"$out/_lineage/*")
+      .agg(sum("n_rows")).head.getLong(0) == nTable)
+    assert(spark.read.parquet(s"$out/_metrics/*")
+      .agg(sum("rows_out")).head.getLong(0) == nTable)
+    // Compaction audit record exists with one row per rewritten batch.
+    val audit = spark.read.parquet(s"$out/_compactions/compact-${report.compactionId}")
+    assert(audit.count() == report.batchesRewritten.size)
+
+    // Idempotent: a second compaction under the same map is the fast path.
+    val again = Recanon.recanonicalize(spark, out, canonDf)
+    assert(again.batchesRewritten.isEmpty)
+    assert(grouped(spark.read.parquet(s"$out/triples")
+      .select("subj", "pred", "obj", "url", "score")
+      .as[graft.model.Triple].collect()) == grouped(batch.collect()))
+
+    // Selectivity: corrupt exactly ONE batch back to stale subjects (a real
+    // foreachBatch replay shape) — the next compaction rewrites only it.
+    val victim = report.batchesRewritten.max
+    val victimPages = spark.read.parquet(in) // all pages; re-derive its rows
+    val staleAll = Streaming.pageTriples(victimPages.as[graft.model.Page], gaz, staleSnap)
+    val victimUrls = spark.read.parquet(s"$out/triples")
+      .filter(col("batch_id").cast("long") === victim)
+      .select("url").distinct().as[String].collect().toSet
+    val victimRows = staleAll.filter((t: graft.model.Triple) => victimUrls.contains(t.url))
+    Streaming.materializedBatchWriter(out)(victimRows, victim)
+    val third = Recanon.recanonicalize(spark, out, canonDf)
+    assert(third.batchesRewritten == Seq(victim),
+      s"expected only batch $victim rewritten, got ${third.batchesRewritten}")
+    assert(grouped(spark.read.parquet(s"$out/triples")
+      .select("subj", "pred", "obj", "url", "score")
+      .as[graft.model.Triple].collect()) == grouped(batch.collect()))
+  }
+
+  test("repairSidecars rebuilds lost lineage/metrics from the table (compaction crash window)") {
+    import graft.streaming.Recanon
+    val (pages, batch, canon) = flagshipFixture
+    val tmp = java.nio.file.Files.createTempDirectory("graft-repair-spec")
+    val in = s"$tmp/pages"; val out = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+    pages.repartition(2).write.parquet(in)
+    Streaming.runTriplesStreamMaterialized(spark, in, out, ckpt, gaz, canon)
+    val nTable = spark.read.parquet(s"$out/triples").count()
+    // Simulate the crash window: one batch's lineage sidecar vanishes.
+    val victims = new java.io.File(s"$out/_lineage").listFiles()
+      .filter(_.getName.startsWith("batch-")).sortBy(_.getName)
+    assert(victims.nonEmpty)
+    graft.util.TempDirs.delete(victims.head.toPath)
+    assert(spark.read.parquet(s"$out/_lineage/*")
+      .agg(sum("n_rows")).head.getLong(0) < nTable) // drift now detectable
+    Recanon.repairSidecars(spark, out)
+    assert(spark.read.parquet(s"$out/_lineage/*")
+      .agg(sum("n_rows")).head.getLong(0) == nTable)
+    assert(spark.read.parquet(s"$out/_metrics/*")
+      .agg(sum("rows_out")).head.getLong(0) == nTable)
+  }
+
   test("materialized streaming sink: partitioned table + lineage/metric sidecars, resume-safe") {
     val (pages, batch, canon) = flagshipFixture
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-mat-spec")
