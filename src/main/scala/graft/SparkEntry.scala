@@ -39,6 +39,12 @@ object SparkEntry {
 
     // --- KG pipeline stages (pages synthesized from documents) ----------
     "q_pages" -> ((s, dir) => {
+      // F2 rider: the extractor's empty-text skip is a hard invariant of
+      // the derived segment table — no empty/whitespace-only segment may
+      // survive extraction (the reference's skip-empty guard).
+      val nEmpty = Pipeline.segments(s, dir).toDF()
+        .filter(length(trim(col("text"))) === 0).count()
+      require(nEmpty == 0, s"F2 empty-text skip violated by $nEmpty segments")
       Pipeline.pages(s, dir).toDF()
         .select(col("url"), col("lang"), length(col("text")).cast("long").as("text_len"))
     }),

@@ -369,11 +369,14 @@ object Fuzzy {
 
   /** Fuzzy-recall test corpus: one segment per document — normalized doc
     * text + planted `" Witness: <variant>."` where variant = person
-    * (doc_id·7 mod |persons|) rendered in style doc_id mod 3 (0 lowercase,
-    * 1 first space → ", ", 2 UPPERCASE). All three styles are invisible to
+    * (doc_id·7 mod |persons|) rendered in style doc_id mod 4 (0 lowercase,
+    * 1 first space → ", ", 2 UPPERCASE, 3 first space → "-" plus a
+    * trailing "'s" — the P8 hyphen/possessive normalization shapes,
+    * check_fuzzy_match.py:18-20,48-50). All four styles are invisible to
     * the case-sensitive exact automaton; the token matcher recovers each at
-    * ratio 1.0 (tokens are lowercased, punctuation-free). Plant arithmetic
-    * is mirrored by Oracle.qFuzzy.
+    * ratio 1.0 (tokens are lowercased, punctuation-free, so the hyphen
+    * splits and the possessive becomes a trailing "s" token outside the
+    * matched window). Plant arithmetic is mirrored by Oracle.qFuzzy.
     */
   def fuzzySegments(spark: org.apache.spark.sql.SparkSession, sfDir: String): Dataset[Segment] = {
     import spark.implicits._
@@ -388,10 +391,11 @@ object Fuzzy {
       .as[(Long, String)]
       .map { case (id, base) =>
         val p = graft.model.Gazetteer.persons(((id * 7) % nP).toInt)
-        val v = (id % 3) match {
+        val v = (id % 4) match {
           case 0 => p.toLowerCase(java.util.Locale.ROOT)
           case 1 => p.replaceFirst(" ", ", ")
-          case _ => p.toUpperCase(java.util.Locale.ROOT)
+          case 2 => p.toUpperCase(java.util.Locale.ROOT)
+          case _ => p.replaceFirst(" ", "-") + "'s"
         }
         Segment(id.toString, 0, 0, "Text", s"$base Witness: $v.")
       }

@@ -730,12 +730,17 @@ object Oracle {
         "(a 5-token window can reach list-ratio 0.8 without being identical)")
     val rows = for {
       pi <- Gazetteer.persons.indices
-      st <- 0 to 2
+      st <- 0 to 3
       p = Gazetteer.persons(pi)
+      // Style 3 is the P8 promotion: hyphenated first gap + possessive
+      // suffix — the tokenizer splits the hyphen and strands the "'s" as a
+      // trailing "s" token outside any entity window, so the enumeration
+      // below (shared tokenizer, slice equality) stays exact.
       v = st match {
         case 0 => p.toLowerCase(java.util.Locale.ROOT)
         case 1 => p.replaceFirst(" ", ", ")
-        case _ => p.toUpperCase(java.util.Locale.ROOT)
+        case 2 => p.toUpperCase(java.util.Locale.ROOT)
+        case _ => p.replaceFirst(" ", "-") + "'s"
       }
       vToks = toksOf(v)
       e <- Gazetteer.persons
@@ -749,7 +754,7 @@ object Oracle {
     s"""WITH norm AS (SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS text FROM documents),
     m(pidx, style, surface, off_s, off_e) AS (VALUES $values),
     d AS (SELECT doc_id, length(text) AS base_len,
-            (doc_id * 7) % $nP AS pidx, doc_id % 3 AS style FROM norm)
+            (doc_id * 7) % $nP AS pidx, doc_id % 4 AS style FROM norm)
     SELECT d.doc_id, m.surface,
       CAST(d.base_len + 10 + m.off_s AS BIGINT) AS pos,
       CAST(d.base_len + 10 + m.off_e AS BIGINT) AS pos_end,
@@ -809,7 +814,20 @@ object Oracle {
       "qGlinerWindows' exact-token oracle requires <=4-token person surfaces")
     val rows = for {
       pi <- Gazetteer.persons.indices
-      vToks = toks(Gazetteer.persons(pi)) // same for all 3 case styles
+      st <- 0 to 3
+      p = Gazetteer.persons(pi)
+      // Token STRINGS are case-insensitive, so styles 0-2 share one token
+      // list; style 3 (the P8 hyphen/possessive plant) appends an "s"
+      // token, which no entity list contains — slice equality below is
+      // unaffected, but the enumeration is now per style to keep the
+      // joined-token offsets honest if a future style reorders tokens.
+      v = st match {
+        case 0 => p.toLowerCase(java.util.Locale.ROOT)
+        case 1 => p.replaceFirst(" ", ", ")
+        case 2 => p.toUpperCase(java.util.Locale.ROOT)
+        case _ => p.replaceFirst(" ", "-") + "'s"
+      }
+      vToks = toks(v)
       e <- Gazetteer.persons
       eToks = toks(e)
       w <- 0 to vToks.length - eToks.length
@@ -817,19 +835,20 @@ object Oracle {
     } yield {
       val offS = vToks.take(w).map(_.length + 1).sum // +1 joining space each
       val offE = offS + eToks.map(_.length).sum + (eToks.length - 1)
-      (pi, e, offS, offE)
+      (pi, st, e, offS, offE)
     }
-    val values = rows.map { case (pi, e, s, en) =>
-      s"($pi, '${e.replace("'", "''")}', $s, $en)"
+    val values = rows.map { case (pi, st, e, s, en) =>
+      s"($pi, $st, '${e.replace("'", "''")}', $s, $en)"
     }.mkString(", ")
     s"""WITH norm AS (SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS text FROM documents),
-    m(pidx, surface, off_s, off_e) AS (VALUES $values),
-    d AS (SELECT doc_id, length(text) AS base_len, (doc_id * 7) % $nP AS pidx FROM norm)
+    m(pidx, style, surface, off_s, off_e) AS (VALUES $values),
+    d AS (SELECT doc_id, length(text) AS base_len, (doc_id * 7) % $nP AS pidx,
+            doc_id % 4 AS style FROM norm)
     SELECT d.doc_id, m.surface,
       CAST(d.base_len + 9 + m.off_s AS BIGINT) AS pos,
       CAST(d.base_len + 9 + m.off_e AS BIGINT) AS pos_end,
       CAST(1000 AS BIGINT) AS score_milli
-    FROM d JOIN m ON m.pidx = d.pidx"""
+    FROM d JOIN m ON m.pidx = d.pidx AND m.style = d.style"""
   }
 
   /** Provenance triples with canonical subjects. */
