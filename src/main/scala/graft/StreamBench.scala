@@ -3,10 +3,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Streaming-flagship benchmark: drains the amplified pages corpus through
-  * the incremental Structured Streaming pages→triples job
-  * (graft.streaming.Streaming.runTriplesStreamOnce) and reports sustained
-  * ingest throughput, for comparison against the batch flagship record in
-  * BENCH/BASELINE.md.
+  * the incremental Structured Streaming pages→triples job and reports
+  * sustained ingest throughput, for comparison against the batch flagship
+  * record in BENCH/BASELINE.md. Two modes (SPARK_GRAFT_STREAM_MODE):
+  *
+  *  - `drain` (default): the whole feed is pre-staged and drained with
+  *    Trigger.AvailableNow — peak drain throughput, min of
+  *    SPARK_GRAFT_STREAM_REPS reps into fresh sink+checkpoint dirs.
+  *  - `paced`: the feed dir starts EMPTY and a feeder thread lands files on
+  *    a fixed cadence while the query runs on a ProcessingTime trigger —
+  *    steady-state ingest. Reported: per-micro-batch wall-time percentiles
+  *    (p50/p95 from the _metrics sidecar's INDEPENDENT wall_nanos
+  *    measurements), end-to-end run seconds, and sustained triples/sec.
   *
   * Protocol (same noise discipline as graft.Bench):
   *  - the batch flagship runs ONCE untimed first, over the SAME staged feed
@@ -14,9 +22,6 @@ import org.apache.spark.sql.SparkSession
   *    the equivalence oracle (the streamed sink's content fingerprint —
   *    row count AND mod-2^64 xxhash64 sum — must equal the batch
   *    flagship's exactly, `require`d on every rep);
-  *  - the drain then runs SPARK_GRAFT_STREAM_REPS (default 3) times into
-  *    fresh sink+checkpoint dirs over the same staged input; reported
-  *    figure is the min, with raw reps + min/median noise check in the JSON;
   *  - the canonical alias snapshot is built batch-side FROM THE SAME FEED
   *    and broadcast, and is NOT part of the timed drain — in the lambda
   *    split it is the periodic batch job's output, refreshed at a much
@@ -27,7 +32,11 @@ import org.apache.spark.sql.SparkSession
   * 40 — same corpus as the batch flagship record),
   * SPARK_GRAFT_FILES_PER_TRIGGER (default = cpus, so each micro-batch has
   * enough input splits to feed every core), SPARK_GRAFT_STREAM_FILES
-  * (staged input files, default 8 triggers' worth → 8 micro-batches).
+  * (staged input files, default 8 triggers' worth → 8 micro-batches);
+  * paced mode: SPARK_GRAFT_TICK_MS (feeder cadence, default 1000),
+  * SPARK_GRAFT_FILES_PER_TICK (files landed per tick, default =
+  * files-per-trigger), SPARK_GRAFT_TRIGGER_MS (ProcessingTime interval,
+  * default 500).
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -42,6 +51,7 @@ object StreamBench {
     val perTrigger = sys.env.getOrElse("SPARK_GRAFT_FILES_PER_TRIGGER", cpus).toInt
     val nFiles = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES", (perTrigger * 8).toString).toInt
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "3").toInt)
+    val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "drain")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-stream-bench")
@@ -90,6 +100,29 @@ object StreamBench {
         .unionByName(graft.relations.Relations.mentionedIn(ms, canonDf)).toDF())
     ms.unpersist()
 
+    val json = mode match {
+      case "paced" =>
+        runPaced(spark, tmp.toString, in, gaz, canon, nTriples, batchSum,
+          perTrigger, nFiles, amplify, cpus, canonSec, sfDir)
+      case _ =>
+        runDrain(spark, tmp.toString, in, gaz, canon, nTriples, batchSum,
+          perTrigger, nFiles, amplify, cpus, canonSec, sfDir, reps)
+    }
+    println(json)
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"BENCH/stream_${mode}_last.json"), json + "\n")
+    } catch { case _: java.io.IOException => () }
+    graft.pipeline.Pipeline.evict(spark, sfDir)
+    spark.stop()
+  }
+
+  private def runDrain(spark: SparkSession, tmp: String, in: String,
+      gaz: Array[(String, String)], canon: Map[String, String],
+      nTriples: Long, batchSum: Long, perTrigger: Int, nFiles: Int,
+      amplify: Int, cpus: String, canonSec: Double, sfDir: String,
+      reps: Int): String = {
     val repTimes = (1 to reps).map { r =>
       val out = s"$tmp/sink$r"; val ckpt = s"$tmp/ckpt$r"
       val t0 = System.nanoTime()
@@ -107,10 +140,73 @@ object StreamBench {
     val medianSec = repTimes.sorted.apply(repTimes.length / 2)
     val microBatches = math.ceil(nFiles.toDouble / perTrigger).toInt
     val repsJson = repTimes.map(t => f"$t%.3f").mkString("[", ",", "]")
-    val json =
-      s"""{"metric":"stream_triples_per_sec","value":${(nTriples / drainSec).toLong},"unit":"triples/sec","drain_sec":${f"$drainSec%.3f"},"drain_median_sec":${f"$medianSec%.3f"},"drain_reps":$repsJson,"noise_check":${f"${drainSec / medianSec}%.3f"},"n_triples":$nTriples,"micro_batches":$microBatches,"files":$nFiles,"files_per_trigger":$perTrigger,"amplify":$amplify,"cpus":$cpus,"canon_snapshot_sec":${f"$canonSec%.3f"},"sf":"$sfDir"}"""
-    println(json)
-    graft.pipeline.Pipeline.evict(spark, sfDir)
-    spark.stop()
+    s"""{"metric":"stream_triples_per_sec","value":${(nTriples / drainSec).toLong},"unit":"triples/sec","drain_sec":${f"$drainSec%.3f"},"drain_median_sec":${f"$medianSec%.3f"},"drain_reps":$repsJson,"noise_check":${f"${drainSec / medianSec}%.3f"},"n_triples":$nTriples,"micro_batches":$microBatches,"files":$nFiles,"files_per_trigger":$perTrigger,"amplify":$amplify,"cpus":$cpus,"canon_snapshot_sec":${f"$canonSec%.3f"},"sf":"$sfDir"}"""
+  }
+
+  /** Feeder-paced steady-state run: files land in an initially-empty feed
+    * dir on a fixed cadence while the query runs on a ProcessingTime
+    * trigger; the run ends when every staged page has been committed
+    * (tracked via StreamingQueryListener numInputRows — the source-side
+    * count, independent of the sink's own metrics). Latency percentiles
+    * come from the _metrics sidecar's per-batch wall_nanos.
+    */
+  private def runPaced(spark: SparkSession, tmp: String, staged: String,
+      gaz: Array[(String, String)], canon: Map[String, String],
+      nTriples: Long, batchSum: Long, perTrigger: Int, nFiles: Int,
+      amplify: Int, cpus: String, canonSec: Double, sfDir: String): String = {
+    import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+    val tickMs = sys.env.getOrElse("SPARK_GRAFT_TICK_MS", "1000").toLong
+    val filesPerTick = sys.env.getOrElse("SPARK_GRAFT_FILES_PER_TICK",
+      perTrigger.toString).toInt
+    val triggerMs = sys.env.getOrElse("SPARK_GRAFT_TRIGGER_MS", "500").toLong
+    val expectedPages = spark.read.parquet(staged).count()
+    val parts = new java.io.File(staged).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val in = s"$tmp/pages_paced"; val out = s"$tmp/sink_paced"
+    val ckpt = s"$tmp/ckpt_paced"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+
+    val inputRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        inputRows.addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val t0 = System.nanoTime()
+    val q = graft.streaming.Streaming.startTriplesStreamMaterialized(
+      spark, in, out, ckpt, gaz, canon, maxFilesPerTrigger = perTrigger,
+      nBuckets = 16, trigger = Trigger.ProcessingTime(triggerMs))
+    val feeder = new Thread(() => {
+      parts.grouped(filesPerTick).foreach { g =>
+        g.foreach { f =>
+          java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(in, f.getName))
+        }
+        Thread.sleep(tickMs)
+      }
+    }, "graft-feeder")
+    feeder.start()
+    while (inputRows.get() < expectedPages) Thread.sleep(50L)
+    val runSec = (System.nanoTime() - t0) / 1e9
+    q.stop(); q.awaitTermination(); feeder.join()
+    spark.streams.removeListener(listener)
+
+    val (streamed, streamSum) = graft.pipeline.Pipeline.tripleChecksum(
+      spark.read.parquet(s"$out/triples")
+        .select("subj", "pred", "obj", "url", "score"))
+    require(streamed == nTriples && streamSum == batchSum,
+      s"paced sink fingerprint ($streamed, $streamSum) != batch flagship " +
+        s"($nTriples, $batchSum)")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val wallMs = spark.read.parquet(s"$out/_metrics/*")
+      .filter(col("rows_out") > 0L)
+      .select((col("nanos") / 1e6).as("ms")).as[Double].collect().sorted
+    def pct(p: Double): Double =
+      if (wallMs.isEmpty) 0.0
+      else wallMs(math.min(wallMs.length - 1, (p * wallMs.length).toInt))
+    val ticks = math.ceil(parts.length.toDouble / filesPerTick).toInt
+    s"""{"metric":"stream_paced_batch_latency","unit":"ms","batch_wall_p50_ms":${f"${pct(0.5)}%.1f"},"batch_wall_p95_ms":${f"${pct(0.95)}%.1f"},"n_batches":${wallMs.length},"run_sec":${f"$runSec%.3f"},"triples_per_sec":${(nTriples / runSec).toLong},"n_triples":$nTriples,"pages":$expectedPages,"files":${parts.length},"files_per_tick":$filesPerTick,"tick_ms":$tickMs,"ticks":$ticks,"trigger_ms":$triggerMs,"files_per_trigger":$perTrigger,"amplify":$amplify,"cpus":$cpus,"canon_snapshot_sec":${f"$canonSec%.3f"},"sf":"$sfDir"}"""
   }
 }

@@ -293,6 +293,26 @@ object Streaming {
     * glob over the batch dirs (dollar-outDir/_lineage/ star — spelled out
     * because a literal star-after-slash opens a nested Scala comment here).
     */
+  /** Start the materialized flagship stream with a caller-chosen trigger
+    * and return the live query (no await): the feeder-paced benchmark shape
+    * — files land in `pagesDir` WHILE the query runs on a ProcessingTime
+    * cadence, and the caller decides when the feed is drained and stops it.
+    * Same fused stage, sink, and sidecar contract as
+    * [[runTriplesStreamMaterialized]].
+    */
+  def startTriplesStreamMaterialized(spark: SparkSession, pagesDir: String,
+      outDir: String, checkpointDir: String, gazetteer: Array[(String, String)],
+      canonSnapshot: Map[String, String], maxFilesPerTrigger: Int,
+      nBuckets: Int, trigger: Trigger): org.apache.spark.sql.streaming.StreamingQuery =
+    triplesStream(spark, pagesDir, gazetteer, canonSnapshot, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch((b: Dataset[Triple], id: Long) =>
+        materializedBatchWriter(outDir, nBuckets)(b, id))
+      .start()
+
   def runTriplesStreamMaterialized(spark: SparkSession, pagesDir: String,
       outDir: String, checkpointDir: String, gazetteer: Array[(String, String)],
       canonSnapshot: Map[String, String], maxFilesPerTrigger: Int = 1,

@@ -130,6 +130,49 @@ class StreamingSpec extends SparkSpec {
     assert(grouped(streamed) == grouped(batch.collect()))
   }
 
+  test("paced start variant: files landing DURING a ProcessingTime run equal the batch result") {
+    val (pages, batch, canon) = flagshipFixture
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-paced-spec")
+    val staging = s"$tmp/staging"; val in = s"$tmp/pages"
+    val out = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+    pages.repartition(4).write.parquet(staging)
+    val parts = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val expectedPages = spark.read.parquet(staging).count()
+    val inputRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        inputRows.addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q = Streaming.startTriplesStreamMaterialized(spark, in, out, ckpt,
+        gaz, canon, maxFilesPerTrigger = 1, nBuckets = 16,
+        trigger = Trigger.ProcessingTime(50L))
+      // Feed files one at a time WHILE the query runs (the paced-bench shape).
+      parts.foreach { f =>
+        java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(in, f.getName))
+        Thread.sleep(100L)
+      }
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (inputRows.get() < expectedPages && System.nanoTime() < deadline)
+        Thread.sleep(50L)
+      q.stop(); q.awaitTermination()
+      assert(inputRows.get() == expectedPages, "drain timed out before all pages were read")
+    } finally spark.streams.removeListener(listener)
+    val streamed = spark.read.parquet(s"$out/triples")
+      .select("subj", "pred", "obj", "url", "score")
+      .as[graft.model.Triple].collect()
+    assert(grouped(streamed) == grouped(batch.collect()))
+    // Genuinely incremental: multiple committed micro-batches.
+    val commits = new java.io.File(s"$ckpt/commits").list().filterNot(_.startsWith("."))
+    assert(commits.length >= 2, s"expected >=2 micro-batch commits, got ${commits.toList}")
+  }
+
   test("recanonicalize compacts a stale-drained sink to the batch flagship, selectively and idempotently") {
     import graft.streaming.Recanon
     val (pages, batch, canon) = flagshipFixture
