@@ -53,9 +53,30 @@ object GazetteerBench {
     }
     val (t51, hits51) = timeScan(Gazetteer.all.toArray)
     val (t100k, hits100k) = timeScan(dim100k)
+    segs.unpersist()
+
+    // End-to-end flagship (extract → exact+recall scan → canon CC →
+    // triples) at both dimensions: the isolated scan above can't see
+    // dimension costs that ride the WHOLE pipeline — the 100k broadcast,
+    // the per-executor token-index memo, and the canon stage's input width.
+    // Synthetic surfaces never hit the corpus, so both runs must produce
+    // the IDENTICAL triple multiset — `require`d via content fingerprint.
+    def timeFlagship(gaz: Array[(String, String)]): (Double, (Long, Long)) = {
+      var fp = graft.pipeline.Pipeline.flagshipChecksum(spark, sfDir, amplify, gaz) // untimed warm-up
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fp = graft.pipeline.Pipeline.flagshipChecksum(spark, sfDir, amplify, gaz)
+        (System.nanoTime() - t0) / 1e9
+      }
+      (ts.min, fp)
+    }
+    val (f51, fp51) = timeFlagship(Gazetteer.all.toArray)
+    val (f100k, fp100k) = timeFlagship(dim100k)
+    require(fp51 == fp100k,
+      s"flagship fingerprint drifted with the 100k dimension: $fp51 != $fp100k")
 
     val json =
-      f"""{"metric":"gazetteer_scan","sf":"$sfDir","amplify":$amplify,"cpus":$cpus,"n_segments":$nSegs,"n_chars":$nChars,"build_100k_sec":$buildSec%.3f,"nodes_100k":${ac.nodeCount},"scan51_sec":$t51%.3f,"scan100k_sec":$t100k%.3f,"hits51":$hits51,"hits100k":$hits100k,"chars_per_sec_51":${(nChars / t51).toLong},"chars_per_sec_100k":${(nChars / t100k).toLong},"reps":$reps}"""
+      f"""{"metric":"gazetteer_scan","sf":"$sfDir","amplify":$amplify,"cpus":$cpus,"n_segments":$nSegs,"n_chars":$nChars,"build_100k_sec":$buildSec%.3f,"nodes_100k":${ac.nodeCount},"scan51_sec":$t51%.3f,"scan100k_sec":$t100k%.3f,"hits51":$hits51,"hits100k":$hits100k,"chars_per_sec_51":${(nChars / t51).toLong},"chars_per_sec_100k":${(nChars / t100k).toLong},"flagship51_sec":$f51%.3f,"flagship100k_sec":$f100k%.3f,"flagship_ratio":${f100k / f51}%.3f,"n_triples":${fp51._1},"reps":$reps}"""
     println(json)
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))

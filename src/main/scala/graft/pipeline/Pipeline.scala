@@ -113,10 +113,13 @@ object Pipeline {
   }
 
   /** [[flagshipCount]] that also fingerprints the result — one job, same
-    * cost shape as a plain count (map-side-combinable aggregate). */
-  def flagshipChecksum(spark: SparkSession, sfDir: String, factor: Int): (Long, Long) = {
+    * cost shape as a plain count (map-side-combinable aggregate). The
+    * gazetteer is a parameter so GazetteerBench can time the IDENTICAL
+    * end-to-end pipeline at the 100k-surface dimension. */
+  def flagshipChecksum(spark: SparkSession, sfDir: String, factor: Int,
+      gazetteer: Array[(String, String)] = Gazetteer.all.toArray): (Long, Long) = {
     val pages = Pages.synthesizeAmplified(spark, sfDir, factor)
-    val ms = Mentions.scanWithRecall(Extract.segments(pages), Gazetteer.all.toArray).cache()
+    val ms = Mentions.scanWithRecall(Extract.segments(pages), gazetteer).cache()
     try {
       val cooc = Relations.cooccurrence(ms)
       val prov = Relations.mentionedIn(ms, Canon.canonicalMap(ms))
