@@ -180,14 +180,30 @@ object StreamBench {
       nBuckets = 16, trigger = Trigger.ProcessingTime(triggerMs))
     val feeder = new Thread(() => {
       parts.grouped(filesPerTick).foreach { g =>
+        // Land each file ATOMICALLY (copy to a dot-prefixed temp name the
+        // file source ignores, then rename): a ProcessingTime trigger can
+        // list the dir mid-copy, and a plain copy would expose a truncated
+        // parquet (missing footer) that kills the query.
         g.foreach { f =>
-          java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(in, f.getName))
+          val tmpName = java.nio.file.Paths.get(in, "." + f.getName + ".tmp")
+          java.nio.file.Files.copy(f.toPath, tmpName)
+          java.nio.file.Files.move(tmpName, java.nio.file.Paths.get(in, f.getName),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         }
         Thread.sleep(tickMs)
       }
     }, "graft-feeder")
     feeder.start()
-    while (inputRows.get() < expectedPages) Thread.sleep(50L)
+    // Drain wait: surface a dead query's exception instead of spinning on a
+    // frozen counter, and bound the whole wait so a silent source stall
+    // fails loudly rather than hanging the bench.
+    val deadline = t0 + 600L * 1000 * 1000 * 1000
+    while (inputRows.get() < expectedPages) {
+      if (!q.isActive) q.awaitTermination() // rethrows the query's failure
+      require(System.nanoTime() < deadline,
+        s"paced drain timed out: ${inputRows.get()}/$expectedPages pages after 600s")
+      Thread.sleep(50L)
+    }
     val runSec = (System.nanoTime() - t0) / 1e9
     q.stop(); q.awaitTermination(); feeder.join()
     spark.streams.removeListener(listener)
@@ -200,8 +216,11 @@ object StreamBench {
         s"($nTriples, $batchSum)")
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    // Percentiles over INGEST batches only: recanon/repair also write
+    // _metrics rows, but theirs stamp nanos=0 (no per-batch wall time
+    // exists for a one-job rewrite) and must not dilute the latency read.
     val wallMs = spark.read.parquet(s"$out/_metrics/*")
-      .filter(col("rows_out") > 0L)
+      .filter(col("rows_out") > 0L && col("stage") === "stream_ingest")
       .select((col("nanos") / 1e6).as("ms")).as[Double].collect().sorted
     def pct(p: Double): Double =
       if (wallMs.isEmpty) 0.0

@@ -402,8 +402,11 @@ object Fuzzy {
   }
 
   /** Char-window fuzzy test corpus: ONE-SENTENCE segments
-    * `"Witness: <variant>."` (same person/style arithmetic as
-    * [[fuzzySegments]], no base text). With sentence length ≪ the 50-char
+    * `"Witness: <variant>."` (same person arithmetic as [[fuzzySegments]]
+    * but INTENTIONALLY its own 3-style variant table — Oracle.qFuzzyChar
+    * hard-codes `doc_id % 3` and styles 0..2, so "aligning" this to
+    * fuzzySegments' 4-style table would silently break the J5 oracle; the
+    * two generators diverge on purpose). With sentence length ≪ the 50-char
     * minimum window, every window covers the whole sentence, so the
     * reference's J5 semantics collapse to a per-entity best-candidate
     * enumeration — which Oracle.qFuzzyChar performs directly.

@@ -82,6 +82,7 @@ object Materialize {
     * original or the migrated dir complete, never a torn one.
     */
   def migrateLineage(spark: SparkSession, outDir: String): Boolean = {
+    recoverLineageSwap(outDir)
     if (int32LineageFiles(outDir).isEmpty) return false
     val widened = lineagePartFiles(outDir)
       .map(p => spark.read.parquet(p.toString)
@@ -100,6 +101,33 @@ object Materialize {
     true
   }
 
+  /** Heal an interrupted [[migrateLineage]] swap so no crash window leaves
+    * the sink without a live `_lineage` dir (an absent sidecar reads as
+    * "nothing done" and a resume would re-append every completed bucket).
+    * The swap's invariant makes recovery unambiguous: `live` is only moved
+    * aside AFTER `.migrated` is fully written, so live-absent ⇒ the staged
+    * dir is complete — promote it; the `.pre_migration` backup is the
+    * fallback if the staged dir is somehow gone too. With `live` present,
+    * leftovers are just debris from a completed (or abandoned-before-move)
+    * attempt and are deleted so the next attempt starts clean.
+    */
+  private def recoverLineageSwap(outDir: String): Unit = {
+    val live = java.nio.file.Paths.get(lineagePath(outDir))
+    val staged = java.nio.file.Paths.get(lineagePath(outDir) + ".migrated")
+    val backup = java.nio.file.Paths.get(lineagePath(outDir) + ".pre_migration")
+    if (!java.nio.file.Files.exists(live)) {
+      if (java.nio.file.Files.exists(staged)) {
+        java.nio.file.Files.move(staged, live)
+        graft.util.TempDirs.delete(backup)
+      } else if (java.nio.file.Files.exists(backup)) {
+        java.nio.file.Files.move(backup, live)
+      }
+    } else {
+      graft.util.TempDirs.delete(staged)
+      graft.util.TempDirs.delete(backup)
+    }
+  }
+
   /** Deterministic bucket of a page url. In the sandbox corpus the doc id is
     * embedded in the url path, so bucketing is reproducible in the DuckDB
     * oracle; a production deployment swaps this for
@@ -113,10 +141,20 @@ object Materialize {
   def readLineage(spark: SparkSession, outDir: String): DataFrame = {
     import spark.implicits._
     val p = java.nio.file.Paths.get(lineagePath(outDir))
+    // A missing dir may be an interrupted migration swap, not a fresh sink —
+    // heal BEFORE the exists check, or a resume sees "nothing done" and
+    // re-appends every completed bucket.
+    if (!java.nio.file.Files.exists(p)) recoverLineageSwap(outDir)
     if (java.nio.file.Files.exists(p)) {
       // Resuming a pre-widening sink: widen any INT32 batch_id files ONCE
       // before this dir is read (or appended to) under the Long schema.
-      if (lineageVerified.add(lineagePath(outDir))) migrateLineage(spark, outDir)
+      // Marked verified only AFTER the migration succeeds: a transient
+      // failure must be retried on the next read, not skipped for the
+      // rest of the JVM with the dir still mixed-schema.
+      if (!lineageVerified.contains(lineagePath(outDir))) {
+        migrateLineage(spark, outDir)
+        lineageVerified.add(lineagePath(outDir))
+      }
       spark.read.parquet(lineagePath(outDir))
     } else spark.emptyDataset[LineageRow].toDF()
   }

@@ -141,6 +141,11 @@ object Recanon {
       // Sidecar refresh per rewritten batch — identical contract to
       // Streaming.materializedBatchWriter (lineage dir truncated when the
       // batch shrank to zero rows; metrics row written unconditionally).
+      // The metrics rows stamp nanos=0, same principle as repairSidecars:
+      // ONE job rewrote every batch, so a per-batch wall time does not
+      // exist and is not faked (consumers like StreamBench's paced mode
+      // read _metrics nanos as per-batch ingest latency); the real
+      // whole-compaction time rides the _compactions audit row below.
       staleBatches.foreach { b =>
         val rows = byBatch.getOrElse(b, Array.empty[(Long, Int, Long)]).sortBy(_._2)
           .map { case (_, k, n) =>
@@ -153,7 +158,7 @@ object Recanon {
           graft.util.TempDirs.delete(
             java.nio.file.Paths.get(s"$outDir/_lineage/batch-$b"))
         val total = byBatch.getOrElse(b, Array.empty[(Long, Int, Long)]).map(_._3).sum
-        Seq(graft.model.StreamMetricRow("stream_recanon", b, total, total, nanos))
+        Seq(graft.model.StreamMetricRow("stream_recanon", b, total, total, 0L))
           .toDS().toDF().write.mode("overwrite")
           .parquet(s"$outDir/_metrics/batch-$b")
       }

@@ -187,14 +187,21 @@ object Streaming {
     */
   def triplesStream(spark: SparkSession, pagesDir: String,
       gazetteer: Array[(String, String)], canonSnapshot: Map[String, String],
-      maxFilesPerTrigger: Int = 1): Dataset[Triple] = {
+      maxFilesPerTrigger: Int = 1): Dataset[Triple] =
+    pageTriples(pagesStream(spark, pagesDir, maxFilesPerTrigger),
+      gazetteer, canonSnapshot)
+
+  /** The feed source, shared by every streaming entry point (the AliasMap
+    * and AliasFrame shapes must read the feed IDENTICALLY or the
+    * "both branches produce the same sink" contract can drift). */
+  private def pagesStream(spark: SparkSession, pagesDir: String,
+      maxFilesPerTrigger: Int): Dataset[Page] = {
     import spark.implicits._
-    val pages = spark.readStream
+    spark.readStream
       .schema(Encoders.product[Page].schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(pagesDir)
       .as[Page]
-    pageTriples(pages, gazetteer, canonSnapshot)
   }
 
   /** Drain everything currently available in `pagesDir` into a parquet sink
@@ -339,13 +346,7 @@ object Streaming {
         (triplesStream(spark, pagesDir, gazetteer, m, maxFilesPerTrigger),
           identity[Dataset[Triple]] _)
       case AliasFrame(df) =>
-        import spark.implicits._
-        val pages = spark.readStream
-          .schema(Encoders.product[Page].schema)
-          .option("maxFilesPerTrigger", maxFilesPerTrigger)
-          .parquet(pagesDir)
-          .as[Page]
-        (pageTriplesRaw(pages, gazetteer),
+        (pageTriplesRaw(pagesStream(spark, pagesDir, maxFilesPerTrigger), gazetteer),
           (b: Dataset[Triple]) => rewriteProv(b, df))
     }
     val q = stream

@@ -96,6 +96,34 @@ class MaterializeSpec extends SparkSpec {
     assert(Materialize.readLineage(spark, dir).agg(sum("n_rows")).head.getLong(0) == 40)
   }
 
+  test("readLineage heals an interrupted migration swap (live dir missing, staged complete)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mat-heal").toString
+    // Simulate the crash window between the two moves: the original sits at
+    // .pre_migration, the fully-written widened dir at .migrated, and NO
+    // live _lineage dir. A resume that read this as "fresh sink" would
+    // re-append every completed bucket.
+    Seq(("triples", 3, 7, 11L)).toDF("table", "bucket", "batch_id", "n_rows")
+      .write.parquet(s"$dir/_lineage.pre_migration")
+    Seq(("triples", 3, 7L, 11L)).toDF("table", "bucket", "batch_id", "n_rows")
+      .write.parquet(s"$dir/_lineage.migrated")
+    val lineage = Materialize.readLineage(spark, dir)
+    assert(lineage.select("batch_id").as[Long].collect().toSeq == Seq(7L))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_lineage")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/_lineage.pre_migration")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/_lineage.migrated")))
+    // Earlier window (staged never finished → deleted, only the backup
+    // remains): the ORIGINAL dir is restored and then migrated normally.
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-mat-heal2").toString
+    Seq(("triples", 4, 9, 13L)).toDF("table", "bucket", "batch_id", "n_rows")
+      .write.parquet(s"$dir2/_lineage.pre_migration")
+    val l2 = Materialize.readLineage(spark, dir2)
+    assert(l2.schema("batch_id").dataType == org.apache.spark.sql.types.LongType)
+    assert(l2.select("batch_id").as[Long].collect().toSeq == Seq(9L))
+  }
+
   test("readLineage auto-migrates an INT32 sidecar it has not verified this JVM") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-mat-automigrate").toString

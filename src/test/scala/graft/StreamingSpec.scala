@@ -153,9 +153,14 @@ class StreamingSpec extends SparkSpec {
       val q = Streaming.startTriplesStreamMaterialized(spark, in, out, ckpt,
         gaz, canon, maxFilesPerTrigger = 1, nBuckets = 16,
         trigger = Trigger.ProcessingTime(50L))
-      // Feed files one at a time WHILE the query runs (the paced-bench shape).
+      // Feed files one at a time WHILE the query runs (the paced-bench
+      // shape); land atomically (hidden temp name + rename) so a trigger
+      // can't list a half-copied parquet.
       parts.foreach { f =>
-        java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(in, f.getName))
+        val tmpName = java.nio.file.Paths.get(in, "." + f.getName + ".tmp")
+        java.nio.file.Files.copy(f.toPath, tmpName)
+        java.nio.file.Files.move(tmpName, java.nio.file.Paths.get(in, f.getName),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         Thread.sleep(100L)
       }
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
