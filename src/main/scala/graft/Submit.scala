@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import graft.canon.Canon
+import graft.extract.Extract
+import graft.materialize.Materialize
+import graft.mentions.Mentions
+import graft.model.Gazetteer
+import graft.relations.Relations
+import graft.sources.Pages
+import graft.streaming.{Recanon, Streaming}
+
+/** Production entry point — the engine as a spark-submit job (north rule:
+  * "run via spark-submit on a multi-executor cluster"). Unlike the sandbox
+  * mains (Bench/Verify/StreamBench), this one sets NO master and no
+  * parallelism config: cluster shape comes entirely from spark-submit
+  * (`--master`, `--num-executors`, `--conf spark.sql.shuffle.partitions`),
+  * so the same jar runs unchanged at N and 4N executors. The engine has no
+  * dependencies beyond Spark itself, so the plain `sbt package` jar
+  * submits directly:
+  *
+  * {{{
+  * spark-submit --class graft.Submit target/scala-2.13/graft_2.13-*.jar \
+  *   batch --input s3://…/pages --output s3://…/kg [--canon-out s3://…/alias]
+  * }}}
+  *
+  * Subcommands wire the lambda architecture end to end:
+  *  - `batch`: pages table → mentions → canonical map → co-occurrence +
+  *    provenance triples, materialized bucket-partitioned with lineage
+  *    resume ([[Materialize.writeTriples]]); `--canon-out` also writes the
+  *    alias table the stream job consumes as its snapshot.
+  *  - `stream`: the fused micro-batch flagship over a page feed directory
+  *    ([[Streaming]]), checkpoint-resumable, with the materialized
+  *    lineage+metrics sink. `--canon` points at a prior batch run's alias
+  *    table (size-gated into a closure map or a per-batch join via
+  *    [[Canon.snapshotBounded]]); without it provenance lands RAW
+  *    (surface-form subjects) for a later `compact` to canonicalize.
+  *    Default trigger drains what is available and exits (re-invoke on a
+  *    schedule = incremental ingest); `--trigger-ms` keeps it running.
+  *  - `compact`: re-canonicalization of the materialized stream sink under
+  *    a fresh alias map ([[Recanon.recanonicalize]]) — rewrites only the
+  *    micro-batches whose provenance went stale.
+  *
+  * Bucketing defaults to [[Materialize.hashBucketCol]] (url-hash — correct
+  * for arbitrary production urls); `--bucket-by docid` restores the
+  * sandbox/oracle scheme. Input is the BASELINE input_hint page table
+  * `(url, warc_ts, html, text, lang)`; the gazetteer defaults to the
+  * built-in dimension and `--gazetteer` loads a `(surface, label)` parquet.
+  */
+object Submit {
+
+  def main(args: Array[String]): Unit = {
+    val b = SparkSession.builder()
+      .appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+    // Sandbox escape hatch only — under spark-submit the master comes from
+    // the launcher and this env is unset.
+    sys.env.get("SPARK_GRAFT_MASTER").foreach(b.master)
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** Parse + dispatch, separated from [[main]] so tests (and embeddings)
+    * drive it with their own session. Prints one summary line per action. */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    require(args.nonEmpty, usage)
+    val (cmd, opts) = (args.head, parseOpts(args.tail))
+    cmd match {
+      case "batch"   => runBatch(spark, opts)
+      case "stream"  => runStream(spark, opts)
+      case "compact" => runCompact(spark, opts)
+      case other     => throw new IllegalArgumentException(s"unknown subcommand '$other'\n$usage")
+    }
+  }
+
+  val usage: String =
+    """usage: graft.Submit <subcommand> --key value ...
+      |  batch   --input <pages parquet> --output <sink dir>
+      |          [--buckets 16] [--batch-id 0] [--bucket-by hash|docid]
+      |          [--gazetteer <surface,label parquet>] [--canon-out <dir>]
+      |  stream  --input <pages feed dir> --output <sink dir> --checkpoint <dir>
+      |          [--canon <alias parquet>] [--buckets 16] [--files-per-trigger 1]
+      |          [--trigger-ms <n>] [--bucket-by hash|docid] [--gazetteer <parquet>]
+      |  compact --output <sink dir> (--canon <alias parquet> | --input <pages parquet>)
+      |          [--buckets 16] [--gazetteer <parquet>]""".stripMargin
+
+  private def parseOpts(rest: Array[String]): Map[String, String] = {
+    require(rest.length % 2 == 0, s"dangling option value\n$usage")
+    rest.grouped(2).map {
+      case Array(k, v) =>
+        require(k.startsWith("--"), s"expected --option, got '$k'\n$usage")
+        k.stripPrefix("--") -> v
+    }.toMap
+  }
+
+  private def req(opts: Map[String, String], key: String): String =
+    opts.getOrElse(key, throw new IllegalArgumentException(s"missing --$key\n$usage"))
+
+  private def gazetteerOf(spark: SparkSession, opts: Map[String, String]): Array[(String, String)] =
+    opts.get("gazetteer") match {
+      case None => Gazetteer.all.toArray
+      case Some(path) =>
+        import spark.implicits._
+        // Dimension-sized driver collect by design: the gazetteer is
+        // broadcast into the scan automaton either way (same policy as
+        // Mentions.scanWithRecall), and the automaton build is evidenced to
+        // 100k surfaces (BENCH/gazetteer_scale.json).
+        spark.read.parquet(path)
+          .select(org.apache.spark.sql.functions.col("surface"),
+            org.apache.spark.sql.functions.col("label"))
+          .as[(String, String)].collect()
+    }
+
+  private def bucketSchemeOf(opts: Map[String, String]): Int => org.apache.spark.sql.Column =
+    opts.getOrElse("bucket-by", "hash") match {
+      case "hash"  => Materialize.hashBucketCol
+      case "docid" => Materialize.bucketCol
+      case other   => throw new IllegalArgumentException(s"unknown --bucket-by '$other' (hash|docid)")
+    }
+
+  /** The batch flagship over an explicit page table: ONE cached mention
+    * scan feeds both triple families and the canonical map (the same memo
+    * discipline Pipeline uses, scoped to this invocation). */
+  private def runBatch(spark: SparkSession, opts: Map[String, String]): Unit = {
+    val gaz = gazetteerOf(spark, opts)
+    val nBuckets = opts.getOrElse("buckets", "16").toInt
+    val ms = Mentions.scanWithRecall(
+      Extract.segments(Pages.fromParquet(spark, req(opts, "input"))), gaz).cache()
+    try {
+      val canon = Canon.canonicalMap(ms)
+      opts.get("canon-out").foreach(p => canon.write.mode("overwrite").parquet(p))
+      val triples = Relations.cooccurrence(ms)
+        .unionByName(Relations.mentionedIn(ms, canon))
+      val rows = Materialize.writeTriples(triples, req(opts, "output"),
+        nBuckets = nBuckets, batchId = opts.getOrElse("batch-id", "0").toLong,
+        bucketOf = bucketSchemeOf(opts))
+      println(s"[submit] batch: wrote ${rows.map(_.n_rows).sum} triples " +
+        s"across ${rows.size} new buckets (${nBuckets - rows.size} resumed)")
+    } finally ms.unpersist()
+  }
+
+  private def runStream(spark: SparkSession, opts: Map[String, String]): Unit = {
+    val gaz = gazetteerOf(spark, opts)
+    val snapshot = opts.get("canon") match {
+      case Some(p) => Canon.snapshotBounded(spark.read.parquet(p))
+      // No alias table yet (first ingest before any batch canon run):
+      // provenance subjects stay raw surface forms; `compact` under the
+      // first real map canonicalizes them retroactively.
+      case None => Canon.AliasNone
+    }
+    val (in, out, ckpt) = (req(opts, "input"), req(opts, "output"), req(opts, "checkpoint"))
+    val perTrigger = opts.getOrElse("files-per-trigger", "1").toInt
+    val nBuckets = opts.getOrElse("buckets", "16").toInt
+    val bucketOf = bucketSchemeOf(opts)
+    opts.get("trigger-ms") match {
+      case None =>
+        Streaming.startTriplesStreamMaterialized(spark, in, out, ckpt, gaz,
+          snapshot, perTrigger, nBuckets, Trigger.AvailableNow(), bucketOf)
+          .awaitTermination()
+      case Some(ms) =>
+        Streaming.startTriplesStreamMaterialized(spark, in, out, ckpt, gaz,
+          snapshot, perTrigger, nBuckets,
+          Trigger.ProcessingTime(ms.toLong, java.util.concurrent.TimeUnit.MILLISECONDS),
+          bucketOf)
+          .awaitTermination() // runs until killed; checkpoint resumes
+    }
+    println(s"[submit] stream: drained $in into $out (checkpoint $ckpt)")
+  }
+
+  private def runCompact(spark: SparkSession, opts: Map[String, String]): Unit = {
+    val canon: DataFrame = opts.get("canon") match {
+      case Some(p) => spark.read.parquet(p)
+      case None => Canon.canonicalMap(Mentions.scanWithRecall(
+        Extract.segments(Pages.fromParquet(spark, req(opts, "input"))),
+        gazetteerOf(spark, opts)))
+    }
+    val report = Recanon.recanonicalize(spark, req(opts, "output"), canon,
+      opts.getOrElse("buckets", "16").toInt)
+    println(s"[submit] compact: rewrote ${report.batchesRewritten.size} batches " +
+      s"(${report.rowsBefore} rows -> ${report.rowsAfter})")
+  }
+}

@@ -462,6 +462,13 @@ object Canon {
   sealed trait AliasSnapshot
   final case class AliasMap(map: Map[String, String]) extends AliasSnapshot
   final case class AliasFrame(df: DataFrame) extends AliasSnapshot
+  /** No alias table exists yet (first ingest, before any periodic canon
+    * run): provenance subjects stay RAW surface forms at the sink, and a
+    * later [[graft.streaming.Recanon.recanonicalize]] under the first real
+    * map rewrites them retroactively. NOT the same as `AliasMap(Map.empty)`,
+    * whose inner-join semantics would DROP every provenance row — dropped
+    * rows are gone; raw rows are compactable. */
+  case object AliasNone extends AliasSnapshot
 
   /** Default gate between the two [[AliasSnapshot]] shapes. 5M two-string
     * rows ≈ low hundreds of MB as a Java map — comfortably inside a

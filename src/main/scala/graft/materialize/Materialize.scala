@@ -136,6 +136,18 @@ object Materialize {
   def bucketCol(nBuckets: Int): org.apache.spark.sql.Column =
     pmod(regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long"), lit(nBuckets)).cast("int")
 
+  /** The production bucket scheme [[bucketCol]]'s doc promises: url-hash
+    * buckets that hold for ARBITRARY urls (the doc-id regexp yields a null
+    * bucket on any url without the sandbox's `/doc/N` suffix, which would
+    * leak rows into a default partition the lineage sums never see).
+    * xxhash64 is a Catalyst codegen'd expression and pmod handles its
+    * negative half — same plan shape as [[bucketCol]], hash-only change.
+    * [[graft.Submit]] defaults to this scheme; the oracle/driver surfaces
+    * keep the doc-id scheme because the DuckDB twin must reproduce it.
+    */
+  def hashBucketCol(nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("url")), lit(nBuckets.toLong)).cast("int")
+
   def lineagePath(outDir: String) = s"$outDir/_lineage"
 
   def readLineage(spark: SparkSession, outDir: String): DataFrame = {
@@ -195,12 +207,13 @@ object Materialize {
     }
 
   def writeTriples(triples: Dataset[Triple], outDir: String, table: String = "triples",
-      nBuckets: Int = 16, batchId: Long = 0L): Seq[LineageRow] = {
+      nBuckets: Int = 16, batchId: Long = 0L,
+      bucketOf: Int => org.apache.spark.sql.Column = bucketCol): Seq[LineageRow] = {
     val spark = triples.sparkSession
     import spark.implicits._
     val done = doneBuckets(spark, outDir, table)
     val pending = triples.toDF()
-      .withColumn("bucket", bucketCol(nBuckets))
+      .withColumn("bucket", bucketOf(nBuckets))
       .filter(!col("bucket").isin(done.toSeq: _*))
     // ONE action: the per-bucket lineage counts ride the write job itself
     // via observe() (nBuckets conditional sums, map-side combinable), so the

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.model.{Gazetteer, Page}
 import graft.functions.Text
 
@@ -98,6 +99,18 @@ object Pages {
     text = pageText(docId, rawDocText),
     lang = lang
   )
+
+  /** A production page table (the BASELINE input_hint shape: url, warc_ts,
+    * html, text, lang) read straight from parquet — the [[graft.Submit]]
+    * input path. Column-pruned select before the typed view so extra
+    * columns in a wider table are dropped at the scan, not at runtime.
+    */
+  def fromParquet(spark: SparkSession, path: String): Dataset[Page] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
+      .as[Page]
+  }
 
   /** Distributed synthesis: documents parquet → Dataset[Page]. Narrow map,
     * no shuffle; scales with input partitions.

@@ -246,7 +246,8 @@ object Streaming {
     * every bucket.) Exactly-once for readers = checkpoint dedup of batch
     * ids × batch-scoped overwrite.
     */
-  def materializedBatchWriter(outDir: String, nBuckets: Int = 16)(
+  def materializedBatchWriter(outDir: String, nBuckets: Int = 16,
+      bucketOf: Int => org.apache.spark.sql.Column = graft.materialize.Materialize.bucketCol)(
       batch: Dataset[Triple], batchId: Long): Unit = {
     import graft.materialize.Materialize
     val t0 = System.nanoTime()
@@ -258,7 +259,7 @@ object Streaming {
     // in no sum) shows up as lineage != metrics downstream.
     val aggs = count(lit(1)).as("total") +: Materialize.bucketAggs(nBuckets)
     batch.toDF()
-      .withColumn("bucket", Materialize.bucketCol(nBuckets))
+      .withColumn("bucket", bucketOf(nBuckets))
       .observe(obs, aggs.head, aggs.tail: _*)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
@@ -311,14 +312,47 @@ object Streaming {
       outDir: String, checkpointDir: String, gazetteer: Array[(String, String)],
       canonSnapshot: Map[String, String], maxFilesPerTrigger: Int,
       nBuckets: Int, trigger: Trigger): org.apache.spark.sql.streaming.StreamingQuery =
-    triplesStream(spark, pagesDir, gazetteer, canonSnapshot, maxFilesPerTrigger)
+    startTriplesStreamMaterialized(spark, pagesDir, outDir, checkpointDir,
+      gazetteer, graft.canon.Canon.AliasMap(canonSnapshot), maxFilesPerTrigger,
+      nBuckets, trigger)
+
+  /** [[startTriplesStreamMaterialized]] over either [[graft.canon.Canon
+    * .AliasSnapshot]] shape (use [[graft.canon.Canon.snapshotBounded]] to
+    * pick): AliasMap rewrites provenance inside the fused map-only stage;
+    * AliasFrame defers it to a per-micro-batch [[rewriteProv]] join in
+    * foreachBatch, keeping the job runnable when the alias dimension is too
+    * large to driver-collect. Both shapes produce identical sink contents
+    * (StreamingSpec pins the equivalence). `bucketOf` picks the sink's
+    * bucket scheme (doc-id for the oracle surfaces, url-hash for arbitrary
+    * production urls — [[graft.materialize.Materialize.hashBucketCol]]).
+    */
+  def startTriplesStreamMaterialized(spark: SparkSession, pagesDir: String,
+      outDir: String, checkpointDir: String, gazetteer: Array[(String, String)],
+      snapshot: graft.canon.Canon.AliasSnapshot, maxFilesPerTrigger: Int,
+      nBuckets: Int, trigger: Trigger,
+      bucketOf: Int => org.apache.spark.sql.Column = graft.materialize.Materialize.bucketCol)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.canon.Canon.{AliasFrame, AliasMap, AliasNone}
+    val (stream, rewrite) = snapshot match {
+      case AliasMap(m) =>
+        (triplesStream(spark, pagesDir, gazetteer, m, maxFilesPerTrigger),
+          identity[Dataset[Triple]] _)
+      case AliasFrame(df) =>
+        (pageTriplesRaw(pagesStream(spark, pagesDir, maxFilesPerTrigger), gazetteer),
+          (b: Dataset[Triple]) => rewriteProv(b, df))
+      case AliasNone =>
+        (pageTriplesRaw(pagesStream(spark, pagesDir, maxFilesPerTrigger), gazetteer),
+          identity[Dataset[Triple]] _)
+    }
+    stream
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .trigger(trigger)
       .foreachBatch((b: Dataset[Triple], id: Long) =>
-        materializedBatchWriter(outDir, nBuckets)(b, id))
+        materializedBatchWriter(outDir, nBuckets, bucketOf)(rewrite(b), id))
       .start()
+  }
 
   def runTriplesStreamMaterialized(spark: SparkSession, pagesDir: String,
       outDir: String, checkpointDir: String, gazetteer: Array[(String, String)],
@@ -328,37 +362,26 @@ object Streaming {
       gazetteer, graft.canon.Canon.AliasMap(canonSnapshot), maxFilesPerTrigger,
       nBuckets)
 
-  /** [[runTriplesStreamMaterialized]] over either [[graft.canon.Canon
-    * .AliasSnapshot]] shape (use [[graft.canon.Canon.snapshotBounded]] to
-    * pick): AliasMap rewrites provenance inside the fused map-only stage;
-    * AliasFrame defers it to a per-micro-batch [[rewriteProv]] join in
-    * foreachBatch, keeping the job runnable when the alias dimension is too
-    * large to driver-collect. Both shapes produce identical sink contents
-    * (StreamingSpec pins the equivalence).
+  /** [[runTriplesStreamMaterialized]] over an [[graft.canon.Canon
+    * .AliasSnapshot]]: drain everything available (AvailableNow) through the
+    * snapshot-shaped start entry point and block until done.
     */
   def runTriplesStreamMaterialized(spark: SparkSession, pagesDir: String,
       outDir: String, checkpointDir: String, gazetteer: Array[(String, String)],
       snapshot: graft.canon.Canon.AliasSnapshot, maxFilesPerTrigger: Int,
-      nBuckets: Int): Unit = {
-    import graft.canon.Canon.{AliasFrame, AliasMap}
-    val (stream, rewrite) = snapshot match {
-      case AliasMap(m) =>
-        (triplesStream(spark, pagesDir, gazetteer, m, maxFilesPerTrigger),
-          identity[Dataset[Triple]] _)
-      case AliasFrame(df) =>
-        (pageTriplesRaw(pagesStream(spark, pagesDir, maxFilesPerTrigger), gazetteer),
-          (b: Dataset[Triple]) => rewriteProv(b, df))
-    }
-    val q = stream
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch((b: Dataset[Triple], id: Long) =>
-        materializedBatchWriter(outDir, nBuckets)(rewrite(b), id))
-      .start()
-    q.awaitTermination()
-  }
+      nBuckets: Int,
+      bucketOf: Int => org.apache.spark.sql.Column): Unit =
+    startTriplesStreamMaterialized(spark, pagesDir, outDir, checkpointDir,
+      gazetteer, snapshot, maxFilesPerTrigger, nBuckets,
+      Trigger.AvailableNow(), bucketOf).awaitTermination()
+
+  def runTriplesStreamMaterialized(spark: SparkSession, pagesDir: String,
+      outDir: String, checkpointDir: String, gazetteer: Array[(String, String)],
+      snapshot: graft.canon.Canon.AliasSnapshot, maxFilesPerTrigger: Int,
+      nBuckets: Int): Unit =
+    runTriplesStreamMaterialized(spark, pagesDir, outDir, checkpointDir,
+      gazetteer, snapshot, maxFilesPerTrigger, nBuckets,
+      graft.materialize.Materialize.bucketCol)
 
   final case class SessState(nEvents: Long, nSessions: Long, lastTs: Long)
 

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Pipeline
+
+/** The spark-submit entry point, driven end to end through [[Submit.run]]
+  * with an explicit page table (the production input shape) — batch
+  * materialize + resume, lambda wiring (batch --canon-out → stream --canon),
+  * and the no-canon-yet raw ingest healed by compact. All sinks use the
+  * default url-HASH bucket scheme, so these tests also pin
+  * [[graft.materialize.Materialize.hashBucketCol]]'s lineage accounting.
+  */
+class SubmitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scratch(name: String) = graft.util.TempDirs.scratch(name).toString
+
+  /** Page table staged to parquet — what a production caller points
+    * --input at. */
+  private lazy val pagesDir: String = {
+    val dir = scratch("graft-submit-pages")
+    graft.sources.Pages.synthesize(spark, sfTiny).repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/pages")
+    s"$dir/pages"
+  }
+
+  /** The batch flagship's fingerprint over the same corpus, computed
+    * directly (the equivalence target for every Submit path). */
+  private lazy val batchChecksum: (Long, Long) =
+    Pipeline.tripleChecksum(Pipeline.triples(spark, sfTiny).toDF())
+
+  private def sinkChecksum(out: String): (Long, Long) =
+    Pipeline.tripleChecksum(spark.read.parquet(s"$out/triples")
+      .select("subj", "pred", "obj", "url", "score"))
+
+  test("submit batch materializes the flagship triples with hash-bucket lineage, and resumes as a no-op") {
+    val out = scratch("graft-submit-batch")
+    Submit.run(spark, Array("batch", "--input", pagesDir, "--output", out))
+    assert(sinkChecksum(out) == batchChecksum)
+    val lineage = spark.read.parquet(s"$out/_lineage")
+    val nTable = spark.read.parquet(s"$out/triples").count()
+    assert(lineage.agg(sum("n_rows")).head.getLong(0) == nTable)
+    // hash buckets are in range and the partition dirs agree with lineage
+    val buckets = lineage.select("bucket").as[Int].collect().toSet
+    assert(buckets.forall(b => b >= 0 && b < 16))
+    // resume: a second run finds every bucket done and writes nothing
+    val lineageRowsBefore = lineage.count()
+    Submit.run(spark, Array("batch", "--input", pagesDir, "--output", out))
+    assert(spark.read.parquet(s"$out/triples").count() == nTable)
+    assert(spark.read.parquet(s"$out/_lineage").count() == lineageRowsBefore)
+  }
+
+  test("lambda wiring: batch --canon-out feeds stream --canon; stream sink equals the batch flagship") {
+    val out = scratch("graft-submit-lambda")
+    Submit.run(spark, Array("batch", "--input", pagesDir,
+      "--output", s"$out/batch_sink", "--canon-out", s"$out/alias"))
+    Submit.run(spark, Array("stream", "--input", pagesDir,
+      "--output", s"$out/stream_sink", "--checkpoint", s"$out/ckpt",
+      "--canon", s"$out/alias", "--files-per-trigger", "2"))
+    assert(sinkChecksum(s"$out/stream_sink") == batchChecksum)
+  }
+
+  test("no-canon-yet ingest lands raw provenance; compact canonicalizes it to the batch flagship") {
+    val out = scratch("graft-submit-raw")
+    Submit.run(spark, Array("stream", "--input", pagesDir,
+      "--output", s"$out/sink", "--checkpoint", s"$out/ckpt",
+      "--files-per-trigger", "2"))
+    // raw: provenance subjects are surface forms — the corpus plants fuzzy
+    // variants, so at least one subject differs from its canonical and the
+    // raw fingerprint cannot equal the batch flagship's
+    val raw = sinkChecksum(s"$out/sink")
+    assert(raw != batchChecksum, "raw drain should differ until compacted")
+    Submit.run(spark, Array("compact", "--output", s"$out/sink",
+      "--input", pagesDir))
+    assert(sinkChecksum(s"$out/sink") == batchChecksum)
+    // idempotent: a second compact is the zero-rewrite fast path
+    Submit.run(spark, Array("compact", "--output", s"$out/sink",
+      "--input", pagesDir))
+    assert(sinkChecksum(s"$out/sink") == batchChecksum)
+  }
+
+  test("--gazetteer loads the scan dimension from parquet") {
+    val out = scratch("graft-submit-gaz")
+    // a one-PERSON gazetteer: provenance triples exist (so the sink is
+    // non-empty and readable) but can only ever name that surface
+    val one = Seq(graft.model.Gazetteer.all.find(_._2 == "PERSON").get)
+    one.toDF("surface", "label").write.parquet(s"$out/gaz")
+    Submit.run(spark, Array("batch", "--input", pagesDir,
+      "--output", s"$out/sink", "--gazetteer", s"$out/gaz"))
+    val sink = spark.read.parquet(s"$out/sink/triples")
+    // single-label gazetteer ⇒ no co-occurrence rule can fire: provenance
+    // only, and all of it names the one surface's canonical cluster
+    val preds = sink.select("pred").distinct().as[String].collect().toSet
+    assert(preds == Set(graft.relations.Relations.ProvPred))
+    assert(sink.select("subj").distinct().count() == 1)
+  }
+
+  test("usage errors are loud: unknown subcommand and missing required option") {
+    intercept[IllegalArgumentException] {
+      Submit.run(spark, Array("frobnicate"))
+    }
+    intercept[IllegalArgumentException] {
+      Submit.run(spark, Array("batch", "--input", pagesDir))
+    }
+  }
+}
