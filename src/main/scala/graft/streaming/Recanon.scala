@@ -78,9 +78,23 @@ object Recanon {
     // Per-batch BEFORE counts from the lineage sidecars (the sink's
     // invariant: lineage == table, so no extra scan of the data); a lost
     // sidecar degrades the audit row to 0, never fails the compaction.
+    // Batch-subdir sidecars listed explicitly (a `/*` glob works too, but
+    // Spark's source resolution logs a WARN stack probing the glob path).
+    val lineageDirs: Seq[String] = {
+      val d = java.nio.file.Paths.get(s"$outDir/_lineage")
+      if (!java.nio.file.Files.exists(d)) Nil
+      else {
+        import scala.jdk.CollectionConverters._
+        val ls = java.nio.file.Files.list(d)
+        try ls.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("batch-"))
+          .map(n => s"$outDir/_lineage/$n").toSeq
+        finally ls.close()
+      }
+    }
     val beforeByBatch: Map[Long, Long] =
-      if (!exists(s"$outDir/_lineage")) Map.empty
-      else spark.read.parquet(s"$outDir/_lineage/*")
+      if (lineageDirs.isEmpty) Map.empty
+      else spark.read.parquet(lineageDirs: _*)
         .filter(col("batch_id").isin(staleBatches: _*))
         .groupBy(col("batch_id")).agg(sum(col("n_rows")).as("n"))
         .as[(Long, Long)].collect().toMap
