@@ -41,6 +41,9 @@ import graft.streaming.{Recanon, Streaming}
   *  - `compact`: re-canonicalization of the materialized stream sink under
   *    a fresh alias map ([[Recanon.recanonicalize]]) — rewrites only the
   *    micro-batches whose provenance went stale.
+  *  - `repair`: rebuild the sink's lineage/metrics sidecars from the table
+  *    itself ([[Recanon.repairSidecars]]) — remediation for a compaction
+  *    crash window or external sidecar loss.
   *
   * Bucketing defaults to [[Materialize.hashBucketCol]] (url-hash — correct
   * for arbitrary production urls); `--bucket-by docid` restores the
@@ -71,6 +74,7 @@ object Submit {
       case "batch"   => runBatch(spark, opts)
       case "stream"  => runStream(spark, opts)
       case "compact" => runCompact(spark, opts)
+      case "repair"  => runRepair(spark, opts)
       case other     => throw new IllegalArgumentException(s"unknown subcommand '$other'\n$usage")
     }
   }
@@ -84,7 +88,8 @@ object Submit {
       |          [--canon <alias parquet>] [--buckets 16] [--files-per-trigger 1]
       |          [--trigger-ms <n>] [--bucket-by hash|docid] [--gazetteer <parquet>]
       |  compact --output <sink dir> (--canon <alias parquet> | --input <pages parquet>)
-      |          [--buckets 16] [--gazetteer <parquet>]""".stripMargin
+      |          [--buckets 16] [--gazetteer <parquet>]
+      |  repair  --output <sink dir>   (rebuild lineage/metrics sidecars from the table)""".stripMargin
 
   private def parseOpts(rest: Array[String]): Map[String, String] = {
     require(rest.length % 2 == 0, s"dangling option value\n$usage")
@@ -180,5 +185,13 @@ object Submit {
       opts.getOrElse("buckets", "16").toInt)
     println(s"[submit] compact: rewrote ${report.batchesRewritten.size} batches " +
       s"(${report.rowsBefore} rows -> ${report.rowsAfter})")
+  }
+
+  /** Sidecar remediation for the compaction crash window (or any external
+    * sidecar loss): rebuild every batch's lineage/metrics from the table
+    * itself ([[Recanon.repairSidecars]]). */
+  private def runRepair(spark: SparkSession, opts: Map[String, String]): Unit = {
+    val (batches, rows) = Recanon.repairSidecars(spark, req(opts, "output"))
+    println(s"[submit] repair: rebuilt sidecars for $batches batches ($rows rows accounted)")
   }
 }

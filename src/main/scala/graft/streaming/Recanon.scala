@@ -210,11 +210,12 @@ object Recanon {
     * and its sidecar refresh (or any external sidecar loss). One aggregate
     * job over the table, then per-batch metadata writes. Metric rows are
     * stamped stage `sidecar_repair` — original ingest wall-times are not
-    * reconstructable and are not faked.
+    * reconstructable and are not faked. Returns (batches rebuilt, total
+    * rows accounted) so a caller can report/verify the repair.
     */
-  def repairSidecars(spark: SparkSession, outDir: String): Unit = {
+  def repairSidecars(spark: SparkSession, outDir: String): (Long, Long) = {
     import spark.implicits._
-    if (!exists(s"$outDir/triples")) return
+    if (!exists(s"$outDir/triples")) return (0L, 0L)
     val counts = spark.read.parquet(s"$outDir/triples")
       .groupBy(col("batch_id").cast("long").as("b"), col("bucket").cast("int").as("k"))
       .agg(count(lit(1)).as("n"))
@@ -229,5 +230,6 @@ object Recanon {
         .toDS().toDF().write.mode("overwrite")
         .parquet(s"$outDir/_metrics/batch-$b")
     }
+    (counts.map(_._1).distinct.length.toLong, counts.map(_._3).sum)
   }
 }

@@ -95,6 +95,24 @@ class SubmitSpec extends SparkSpec {
     assert(sink.select("subj").distinct().count() == 1)
   }
 
+  test("repair rebuilds lost sidecars from the table through the CLI") {
+    val out = scratch("graft-submit-repair")
+    Submit.run(spark, Array("stream", "--input", pagesDir,
+      "--output", s"$out/sink", "--checkpoint", s"$out/ckpt",
+      "--files-per-trigger", "2"))
+    val nTable = spark.read.parquet(s"$out/sink/triples").count()
+    // simulate the compaction crash window: one batch's lineage vanishes
+    val victims = new java.io.File(s"$out/sink/_lineage").listFiles()
+      .filter(_.getName.startsWith("batch-")).sortBy(_.getName)
+    assert(victims.nonEmpty)
+    graft.util.TempDirs.delete(victims.head.toPath)
+    Submit.run(spark, Array("repair", "--output", s"$out/sink"))
+    assert(spark.read.parquet(s"$out/sink/_lineage/*")
+      .agg(sum("n_rows")).head.getLong(0) == nTable)
+    assert(spark.read.parquet(s"$out/sink/_metrics/*")
+      .agg(sum("rows_out")).head.getLong(0) == nTable)
+  }
+
   test("usage errors are loud: unknown subcommand and missing required option") {
     intercept[IllegalArgumentException] {
       Submit.run(spark, Array("frobnicate"))
