@@ -70,6 +70,14 @@ object Submit {
   def run(spark: SparkSession, args: Array[String]): Unit = {
     require(args.nonEmpty, usage)
     val (cmd, opts) = (args.head, parseOpts(args.tail))
+    // Reject unknown options loudly: a typo (--gazeteer) silently falling
+    // back to a default is exactly the failure mode a production job must
+    // not have.
+    allowedOpts.get(cmd).foreach { allowed =>
+      val unknown = opts.keySet -- allowed
+      require(unknown.isEmpty,
+        s"unknown option(s) for '$cmd': ${unknown.toSeq.sorted.map("--" + _).mkString(", ")}\n$usage")
+    }
     cmd match {
       case "batch"   => runBatch(spark, opts)
       case "stream"  => runStream(spark, opts)
@@ -78,6 +86,12 @@ object Submit {
       case other     => throw new IllegalArgumentException(s"unknown subcommand '$other'\n$usage")
     }
   }
+
+  private val allowedOpts: Map[String, Set[String]] = Map(
+    "batch"   -> Set("input", "output", "buckets", "batch-id", "bucket-by", "gazetteer", "canon-out"),
+    "stream"  -> Set("input", "output", "checkpoint", "canon", "buckets", "files-per-trigger", "trigger-ms", "bucket-by", "gazetteer"),
+    "compact" -> Set("output", "canon", "input", "gazetteer"),
+    "repair"  -> Set("output"))
 
   val usage: String =
     """usage: graft.Submit <subcommand> --key value ...
@@ -88,7 +102,7 @@ object Submit {
       |          [--canon <alias parquet>] [--buckets 16] [--files-per-trigger 1]
       |          [--trigger-ms <n>] [--bucket-by hash|docid] [--gazetteer <parquet>]
       |  compact --output <sink dir> (--canon <alias parquet> | --input <pages parquet>)
-      |          [--buckets 16] [--gazetteer <parquet>]
+      |          [--gazetteer <parquet>]
       |  repair  --output <sink dir>   (rebuild lineage/metrics sidecars from the table)""".stripMargin
 
   private def parseOpts(rest: Array[String]): Map[String, String] = {
@@ -181,8 +195,9 @@ object Submit {
         Extract.segments(Pages.fromParquet(spark, req(opts, "input"))),
         gazetteerOf(spark, opts)))
     }
-    val report = Recanon.recanonicalize(spark, req(opts, "output"), canon,
-      opts.getOrElse("buckets", "16").toInt)
+    // No --buckets here: the rewrite preserves each row's existing bucket
+    // (a compaction re-canonicalizes subjects, it never re-partitions).
+    val report = Recanon.recanonicalize(spark, req(opts, "output"), canon)
     println(s"[submit] compact: rewrote ${report.batchesRewritten.size} batches " +
       s"(${report.rowsBefore} rows -> ${report.rowsAfter})")
   }

@@ -55,8 +55,8 @@ object Recanon {
     * it (the batch flagship's inner join would drop it). Returns the
     * compaction report; fast-path (no stale batch) performs no writes.
     */
-  def recanonicalize(spark: SparkSession, outDir: String, canonMap: DataFrame,
-      nBuckets: Int = 16): CompactionReport = {
+  def recanonicalize(spark: SparkSession, outDir: String,
+      canonMap: DataFrame): CompactionReport = {
     import spark.implicits._
     val t0 = System.nanoTime()
     if (!exists(s"$outDir/triples"))

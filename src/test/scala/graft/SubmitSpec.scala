@@ -113,12 +113,17 @@ class SubmitSpec extends SparkSpec {
       .agg(sum("rows_out")).head.getLong(0) == nTable)
   }
 
-  test("usage errors are loud: unknown subcommand and missing required option") {
+  test("usage errors are loud: unknown subcommand, missing required option, unknown option") {
     intercept[IllegalArgumentException] {
       Submit.run(spark, Array("frobnicate"))
     }
     intercept[IllegalArgumentException] {
       Submit.run(spark, Array("batch", "--input", pagesDir))
+    }
+    // a typo must fail, not silently fall back to a default dimension
+    intercept[IllegalArgumentException] {
+      Submit.run(spark, Array("batch", "--input", pagesDir,
+        "--output", scratch("graft-submit-typo"), "--gazeteer", "/nope"))
     }
   }
 }
