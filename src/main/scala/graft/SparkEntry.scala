@@ -335,6 +335,11 @@ object SparkEntry {
     // is a planted near-identical variant — AnnSpec's margin test
     // ("gate validity") fails first if a borderline pair ever appears
     "q_ann_lsh" -> ((s, dir) => Ann.lshPairs(Dedup.embCorpus(s, dir), minCos = 0.99)),
+    // the second scale path: IVF-flat. The oracle twin replays the exact
+    // algorithm (hash-sampled centroids, nearest-cell assignment, nProbe
+    // probing, exact re-rank), so this gates algorithmic determinism
+    // end to end; recall properties live in AnnSpec (uniform vs clustered)
+    "q_ann_ivf" -> ((s, dir) => Ann.ivfTopK(Ann.embeddings(s, dir))),
 
     // --- text analysis ---------------------------------------------------
     "q_langid" -> ((s, dir) => TextStats.langId(TextStats.documents(s, dir))),
@@ -497,6 +502,7 @@ object SparkEntry {
     "q_dedup_embed" -> OracleOps.qDedupEmbed,
     "q_ann_topk" -> OracleOps.qAnnTopk,
     "q_ann_lsh" -> OracleOps.qDedupEmbed,
+    "q_ann_ivf" -> OracleOps.qAnnIvf,
     "q_langid" -> OracleOps.qLangid,
     "q_quality" -> OracleOps.qQuality,
     "q_token_count" -> OracleOps.qTokenCount,

@@ -129,6 +129,15 @@ object Config {
     */
   def MinHashFn: String = sys.props.getOrElse("graft.minhash.fn", "md5")
 
+  /** IVF-flat ANN (the second scale path next to SRP-LSH): K deterministic
+    * hash-sampled centroids, nProbe cells searched per query. nProbe/K is
+    * the candidate fraction — and the recall floor on adversarially
+    * uniform vectors (AnnSpec demonstrates clustered corpora recall ≈ 1 at
+    * the same fraction). Shared by Ann.ivfTopK and the DuckDB oracle twin.
+    */
+  val AnnIvfCentroids = 16
+  val AnnIvfProbes = 6
+
   /** Near-dup n-gram Jaccard threshold. */
   val JaccardThreshold = 0.8
 

@@ -106,6 +106,86 @@ object Ann {
       .select(col("a"), col("b"))
   }
 
+  /** Column-API dot product (same fold the expr-string helpers build). */
+  private def dotCols(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, x) => s + x)
+
+  /** IVF-flat centroids: the `nCentroids` corpus vectors with the smallest
+    * `md5(vec_id)` (a deterministic hash-ordered pseudo-random sample),
+    * returned as UNIT vectors in hash order (index = centroid id). A
+    * driver collect by design — K×Dim doubles broadcast into the plan as
+    * literals, the same dimension-sized-closure policy as [[planeSigns]].
+    * At scale the selection is a TopK (sort+limit ⇒ takeOrdered), never a
+    * full sort of the corpus.
+    */
+  def ivfCentroids(emb: DataFrame, nCentroids: Int): Array[Array[Double]] =
+    withUnit(emb)
+      .select(col("vec_id"), col("nv"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCentroids)
+      .select(col("nv"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** Literal array-of-arrays of the centroid unit vectors. */
+  private def centroidLits(cents: Array[Array[Double]]): Column =
+    array(cents.map(c => array(c.map(lit): _*)): _*)
+
+  /** Per-row struct list (cos-to-centroid, centroid id) — the shared core
+    * of assignment (argmax) and probing (top-nProbe). */
+  private def centroidScores(nvCol: Column, cents: Array[Array[Double]]): Column =
+    zip_with(centroidLits(cents), sequence(lit(0), lit(cents.length - 1)),
+      (cv, ci) => struct(dotCols(nvCol, cv).as("cos"), ci.as("cid")))
+
+  /** Nearest-centroid id as ONE codegen'd map expression — no join, no
+    * shuffle: `array_max` over (cos, -cid) structs orders by cos then by
+    * LOWER cid on ties (lexicographic struct max on the negated id).
+    */
+  private[similarity] def ivfAssignCol(nvCol: Column, cents: Array[Array[Double]]): Column = {
+    val best = array_max(zip_with(centroidLits(cents),
+      sequence(lit(0), lit(cents.length - 1)),
+      (cv, ci) => struct(dotCols(nvCol, cv).as("cos"), (-ci).as("nci"))))
+    (-best.getField("nci")).cast("int")
+  }
+
+  /** IVF-flat approximate top-k: the second scale path next to SRP-LSH.
+    *
+    * Build: every corpus vector is assigned to its nearest of K
+    * deterministic centroids by a narrow map expression (zero shuffle of
+    * the corpus — the inverted file IS the assignment column, and a
+    * production table would partition/bucket by it). Probe: each query
+    * scores all K centroids and searches only its `nProbe` nearest cells —
+    * candidates are ~nProbe/K of the corpus instead of all of it — via a
+    * broadcast join on the cell id. Exact cosine re-ranks candidates, so
+    * precision is exact; recall is the probed-cell mass (high when the
+    * corpus clusters, ≈ nProbe/K on adversarially uniform vectors — see
+    * AnnSpec, which demonstrates both regimes).
+    */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+              nCentroids: Int = graft.model.Config.AnnIvfCentroids,
+              nProbe: Int = graft.model.Config.AnnIvfProbes): DataFrame = {
+    val cents = ivfCentroids(emb, nCentroids)
+    val u = withUnit(emb).select(col("vec_id"), col("nv"))
+    val corpus = u.withColumn("cid", ivfAssignCol(col("nv"), cents))
+    val probes = u.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("nv").as("qnv"),
+        explode(centroidScores(col("nv"), cents)).as("cs"))
+      .withColumn("prn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cs.cos").desc, col("cs.cid"))))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("qnv"), col("cs.cid").as("cid"))
+    corpus.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dotCols(col("qnv"), col("nv")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"))
+  }
+
   /** Exact top-k neighbors by cosine for each query vector (vec_id < nQueries).
     * The query side is broadcast — the big side streams once, no shuffle of
     * the corpus; per-query ranking shuffles only (nQueries × corpus) score

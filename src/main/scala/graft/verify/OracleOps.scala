@@ -116,6 +116,33 @@ object OracleOps {
                FROM scored)
     SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id FROM ranked WHERE rn <= 5"""
 
+  /** IVF-flat ANN twin — replays Ann.ivfTopK exactly: unit vectors with the
+    * identical normalization arithmetic, centroids = the K corpus vectors
+    * with smallest md5(vec_id) indexed in hash order, nearest-cell
+    * assignment (ties → lower cid), nProbe nearest cells per query, exact
+    * cosine re-rank of the probed candidates.
+    */
+  val qAnnIvf: String = {
+    val k = Config.AnnIvfCentroids
+    val p = Config.AnnIvfProbes
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv FROM e),
+    ranked_c AS (SELECT vec_id, nv, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid FROM u),
+    cents AS (SELECT cid, nv AS cv FROM ranked_c WHERE cid < $k),
+    ac AS (SELECT u.vec_id, c.cid, list_inner_product(u.nv, c.cv) AS cos FROM u CROSS JOIN cents c),
+    assign AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM ac) WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cid FROM (SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM ac WHERE vec_id < 10) WHERE rn <= $p),
+    cand AS (SELECT p.query_id, a.vec_id AS neighbor_id FROM probes p JOIN assign a USING (cid)
+             WHERE a.vec_id <> p.query_id),
+    scored AS (SELECT c.query_id, c.neighbor_id, list_inner_product(q.nv, n.nv) AS cos
+               FROM cand c JOIN u q ON q.vec_id = c.query_id JOIN u n ON n.vec_id = c.neighbor_id),
+    ranked AS (SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+    SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id FROM ranked WHERE rn <= 5"""
+  }
+
   val qLangid: String = {
     val markerValues = TextStats.markers
       .map { case (l, m) => s"('$l', '$m')" }.mkString(", ")
