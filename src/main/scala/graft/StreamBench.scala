@@ -15,6 +15,10 @@ import org.apache.spark.sql.SparkSession
   *    steady-state ingest. Reported: per-micro-batch wall-time percentiles
   *    (p50/p95 from the _metrics sidecar's INDEPENDENT wall_nanos
   *    measurements), end-to-end run seconds, and sustained triples/sec.
+  *  - `recanon`: drain raw (no snapshot), then time the retroactive
+  *    compaction of the whole materialized history under the fresh
+  *    canonical map — worst-case (every batch stale) rewrite throughput
+  *    plus the no-op fast-path detection time.
   *
   * Protocol (same noise discipline as graft.Bench):
   *  - the batch flagship runs ONCE untimed first, over the SAME staged feed
@@ -104,6 +108,9 @@ object StreamBench {
       case "paced" =>
         runPaced(spark, tmp.toString, in, gaz, canon, nTriples, batchSum,
           perTrigger, nFiles, amplify, cpus, canonSec, sfDir)
+      case "recanon" =>
+        runRecanon(spark, tmp.toString, in, gaz, canonDf, nTriples, batchSum,
+          perTrigger, nFiles, amplify, cpus, canonSec, sfDir)
       case _ =>
         runDrain(spark, tmp.toString, in, gaz, canon, nTriples, batchSum,
           perTrigger, nFiles, amplify, cpus, canonSec, sfDir, reps)
@@ -141,6 +148,41 @@ object StreamBench {
     val microBatches = math.ceil(nFiles.toDouble / perTrigger).toInt
     val repsJson = repTimes.map(t => f"$t%.3f").mkString("[", ",", "]")
     s"""{"metric":"stream_triples_per_sec","value":${(nTriples / drainSec).toLong},"unit":"triples/sec","drain_sec":${f"$drainSec%.3f"},"drain_median_sec":${f"$medianSec%.3f"},"drain_reps":$repsJson,"noise_check":${f"${drainSec / medianSec}%.3f"},"n_triples":$nTriples,"micro_batches":$microBatches,"files":$nFiles,"files_per_trigger":$perTrigger,"amplify":$amplify,"cpus":$cpus,"canon_snapshot_sec":${f"$canonSec%.3f"},"sf":"$sfDir"}"""
+  }
+
+  /** Compaction-at-scale run: drain the feed RAW (no alias snapshot — the
+    * day-one shape before any periodic batch canon run exists, provenance
+    * subjects still surface forms), then time [[graft.streaming.Recanon
+    * .recanonicalize]] rewriting the whole materialized history under the
+    * fresh map (worst case: every batch is stale), plus the no-op fast
+    * path a second compaction must take. The compacted sink's content
+    * fingerprint must equal the batch flagship's — the same lambda-cycle
+    * equality q_stream_recanon gates at sf0.01.
+    */
+  private def runRecanon(spark: SparkSession, tmp: String, in: String,
+      gaz: Array[(String, String)], canonDf: org.apache.spark.sql.DataFrame,
+      nTriples: Long, batchSum: Long, perTrigger: Int, nFiles: Int,
+      amplify: Int, cpus: String, canonSec: Double, sfDir: String): String = {
+    val out = s"$tmp/sink_raw"; val ckpt = s"$tmp/ckpt_raw"
+    val t0d = System.nanoTime()
+    graft.streaming.Streaming.runTriplesStreamMaterialized(spark, in, out,
+      ckpt, gaz, graft.canon.Canon.AliasNone, perTrigger, 16)
+    val drainSec = (System.nanoTime() - t0d) / 1e9
+    val t0 = System.nanoTime()
+    val report = graft.streaming.Recanon.recanonicalize(spark, out, canonDf)
+    val compactSec = (System.nanoTime() - t0) / 1e9
+    val (n, sum) = graft.pipeline.Pipeline.tripleChecksum(
+      spark.read.parquet(s"$out/triples")
+        .select("subj", "pred", "obj", "url", "score"))
+    require(n == nTriples && sum == batchSum,
+      s"compacted sink fingerprint ($n, $sum) != batch flagship ($nTriples, $batchSum)")
+    val t1 = System.nanoTime()
+    val noop = graft.streaming.Recanon.recanonicalize(spark, out, canonDf)
+    val noopSec = (System.nanoTime() - t1) / 1e9
+    require(noop.batchesRewritten.isEmpty,
+      s"second compaction under the same map rewrote ${noop.batchesRewritten.size} batches")
+    val microBatches = math.ceil(nFiles.toDouble / perTrigger).toInt
+    s"""{"metric":"recanon_rows_per_sec","value":${(report.rowsAfter / compactSec).toLong},"unit":"rows/sec","compact_sec":${f"$compactSec%.3f"},"noop_detect_sec":${f"$noopSec%.3f"},"batches_rewritten":${report.batchesRewritten.size},"rows_before":${report.rowsBefore},"rows_after":${report.rowsAfter},"raw_drain_sec":${f"$drainSec%.3f"},"n_triples":$nTriples,"micro_batches":$microBatches,"files":$nFiles,"files_per_trigger":$perTrigger,"amplify":$amplify,"cpus":$cpus,"canon_snapshot_sec":${f"$canonSec%.3f"},"sf":"$sfDir"}"""
   }
 
   /** Feeder-paced steady-state run: files land in an initially-empty feed
