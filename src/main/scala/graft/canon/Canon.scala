@@ -459,16 +459,26 @@ object Canon {
     *    the dimension side while it fits `autoBroadcastJoinThreshold` and
     *    shuffles past it — the job stays runnable at any dimension size.
     */
-  sealed trait AliasSnapshot
-  final case class AliasMap(map: Map[String, String]) extends AliasSnapshot
-  final case class AliasFrame(df: DataFrame) extends AliasSnapshot
+  sealed trait AliasSnapshot {
+    /** Content fingerprint of the alias map this snapshot carries
+      * ([[aliasFingerprint]]), when known. The streaming sink records it
+      * per batch so [[graft.streaming.Recanon]] can skip staleness scans
+      * of batches already current under the fresh map — None (the legacy
+      * Map-only entry points) means unversioned: always a scan candidate.
+      */
+    def fp: Option[Long]
+  }
+  final case class AliasMap(map: Map[String, String],
+      fp: Option[Long] = None) extends AliasSnapshot
+  final case class AliasFrame(df: DataFrame,
+      fp: Option[Long] = None) extends AliasSnapshot
   /** No alias table exists yet (first ingest, before any periodic canon
     * run): provenance subjects stay RAW surface forms at the sink, and a
     * later [[graft.streaming.Recanon.recanonicalize]] under the first real
     * map rewrites them retroactively. NOT the same as `AliasMap(Map.empty)`,
     * whose inner-join semantics would DROP every provenance row — dropped
     * rows are gone; raw rows are compactable. */
-  case object AliasNone extends AliasSnapshot
+  case object AliasNone extends AliasSnapshot { val fp: Option[Long] = None }
 
   /** Default gate between the two [[AliasSnapshot]] shapes. 5M two-string
     * rows ≈ low hundreds of MB as a Java map — comfortably inside a
@@ -482,7 +492,26 @@ object Canon {
     * at/below `maxRows` collect the driver map, above it keep the DataFrame.
     */
   def snapshotBounded(canonMap: DataFrame,
-      maxRows: Long = SnapshotMaxRows): AliasSnapshot =
-    if (canonMap.count() <= maxRows) AliasMap(snapshot(canonMap))
-    else AliasFrame(canonMap)
+      maxRows: Long = SnapshotMaxRows): AliasSnapshot = {
+    val fp = Some(aliasFingerprint(canonMap))
+    if (canonMap.count() <= maxRows) AliasMap(snapshot(canonMap), fp)
+    else AliasFrame(canonMap, fp)
+  }
+
+  /** Order-independent content fingerprint of an alias map: the wrapping
+    * Long sum of `xxhash64(surface, canonical)` over the dimension table —
+    * the same mod-2⁶⁴ idiom as Pipeline.tripleChecksum, so equality means
+    * content equality for any realistic map (64-bit collision odds).
+    * Computed by a Spark aggregate BOTH at snapshot time and at compaction
+    * time so the two sides can never disagree on hash arithmetic.
+    */
+  def aliasFingerprint(canonMap: DataFrame): Long = {
+    // decimal(38,0) sum then truncate to the low 64 bits: a raw long sum
+    // THROWS under Spark 4's default ANSI mode (same device as
+    // Pipeline.tripleChecksum).
+    val r = canonMap.select(col("surface"), col("canonical"))
+      .agg(sum(xxhash64(col("surface"), col("canonical"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
+    if (r.isNullAt(0)) 0L else r.getDecimal(0).toBigInteger.longValue()
+  }
 }

@@ -44,16 +44,43 @@ object Recanon {
       rows_before: Long, rows_after: Long, nanos: Long)
 
   final case class CompactionReport(compactionId: Long,
-      batchesRewritten: Seq[Long], rowsBefore: Long, rowsAfter: Long)
+      batchesRewritten: Seq[Long], rowsBefore: Long, rowsAfter: Long,
+      batchesScanned: Seq[Long] = Nil)
 
   private def exists(p: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+
+  /** Names under `dir` starting with `prefix`, or Nil if absent. */
+  private def listPrefixed(dir: String, prefix: String): Seq[String] = {
+    val d = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(d)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(d)
+      try ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(prefix)).toSeq
+      finally ls.close()
+    }
+  }
 
   /** Rewrite every materialized micro-batch whose provenance subjects are
     * stale under `canonMap` (fresh surface → canonical alias table). A
     * subject is stale when the map sends it elsewhere OR no longer contains
     * it (the batch flagship's inner join would drop it). Returns the
     * compaction report; fast-path (no stale batch) performs no writes.
+    *
+    * Staleness scans are gated by the sink's alias-version watermark
+    * (`_alias/batch-<b>`: the [[graft.canon.Canon.aliasFingerprint]] of the
+    * map each batch's provenance reflects, recorded at drain time and
+    * refreshed here): batches whose recorded fingerprint equals the fresh
+    * map's are skipped WITHOUT reading any data, so steady-state compaction
+    * under an unchanged map is metadata-only — no per-cadence full-history
+    * provenance scan. Unversioned batches (raw drains, legacy sinks, lost
+    * sidecars) are always scan candidates, the safe direction. Candidates
+    * confirmed current (scanned-not-stale, or rewritten) are re-marked with
+    * the fresh fingerprint — AFTER the data and sidecar writes, so a crash
+    * can only leave a batch unmarked (rescanned next time), never marked
+    * current while stale.
     */
   def recanonicalize(spark: SparkSession, outDir: String,
       canonMap: DataFrame): CompactionReport = {
@@ -61,37 +88,53 @@ object Recanon {
     val t0 = System.nanoTime()
     if (!exists(s"$outDir/triples"))
       return CompactionReport(-1L, Nil, 0L, 0L)
-    val table = spark.read.parquet(s"$outDir/triples")
     val alias = canonMap.select(col("surface"), col("canonical"))
+    val freshFp = graft.canon.Canon.aliasFingerprint(alias)
 
-    // Stale detection: provenance slice × alias dimension, left join so a
-    // dropped surface (null canonical) counts as stale too.
+    // Watermark gate: disk batches minus those already recorded at the
+    // fresh map's fingerprint.
+    val diskBatches: Seq[Long] =
+      listPrefixed(s"$outDir/triples", "batch_id=")
+        .map(_.stripPrefix("batch_id=").toLong).sorted
+    val aliasDirs = listPrefixed(s"$outDir/_alias", "batch-")
+      .map(n => s"$outDir/_alias/$n")
+    val recordedFp: Map[Long, Long] =
+      if (aliasDirs.isEmpty) Map.empty
+      else spark.read.parquet(aliasDirs: _*)
+        .select(col("batch_id").cast("long"), col("alias_fp"))
+        .as[(Long, Long)].collect().toMap
+    val candidates = diskBatches.filterNot(b => recordedFp.get(b).contains(freshFp))
+    if (candidates.isEmpty)
+      return CompactionReport(-1L, Nil, 0L, 0L)
+
+    def markCurrent(batches: Seq[Long]): Unit = batches.foreach { b =>
+      Seq((b, freshFp)).toDF("batch_id", "alias_fp")
+        .write.mode("overwrite").parquet(s"$outDir/_alias/batch-$b")
+    }
+
+    // Stale detection, restricted to the candidate batches (partition
+    // pruning on batch_id): provenance slice × alias dimension, left join
+    // so a dropped surface (null canonical) counts as stale too.
+    val table = spark.read.parquet(s"$outDir/triples")
+      .filter(col("batch_id").isin(candidates: _*))
     val staleBatches = table
       .filter(col("pred") === Relations.ProvPred)
       .join(alias, col("subj") === alias("surface"), "left")
       .filter(col("canonical").isNull || col("canonical") =!= col("subj"))
       .select(col("batch_id").cast("long"))
       .distinct().as[Long].collect().sorted.toSeq
-    if (staleBatches.isEmpty)
-      return CompactionReport(-1L, Nil, 0L, 0L)
+    if (staleBatches.isEmpty) {
+      markCurrent(candidates)
+      return CompactionReport(-1L, Nil, 0L, 0L, candidates)
+    }
 
     // Per-batch BEFORE counts from the lineage sidecars (the sink's
     // invariant: lineage == table, so no extra scan of the data); a lost
     // sidecar degrades the audit row to 0, never fails the compaction.
     // Batch-subdir sidecars listed explicitly (a `/*` glob works too, but
     // Spark's source resolution logs a WARN stack probing the glob path).
-    val lineageDirs: Seq[String] = {
-      val d = java.nio.file.Paths.get(s"$outDir/_lineage")
-      if (!java.nio.file.Files.exists(d)) Nil
-      else {
-        import scala.jdk.CollectionConverters._
-        val ls = java.nio.file.Files.list(d)
-        try ls.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("batch-"))
-          .map(n => s"$outDir/_lineage/$n").toSeq
-        finally ls.close()
-      }
-    }
+    val lineageDirs: Seq[String] =
+      listPrefixed(s"$outDir/_lineage", "batch-").map(n => s"$outDir/_lineage/$n")
     val beforeByBatch: Map[Long, Long] =
       if (lineageDirs.isEmpty) Map.empty
       else spark.read.parquet(lineageDirs: _*)
@@ -186,8 +229,11 @@ object Recanon {
       }
       report.toDS().toDF().write.mode("overwrite")
         .parquet(s"$outDir/_compactions/compact-$compactionId")
+      // Watermark refresh LAST: every candidate is now confirmed current
+      // under the fresh map (rewritten or scanned-not-stale).
+      markCurrent(candidates)
       CompactionReport(compactionId, staleBatches,
-        report.map(_.rows_before).sum, report.map(_.rows_after).sum)
+        report.map(_.rows_before).sum, report.map(_.rows_after).sum, candidates)
     } finally rewritten.unpersist()
   }
 

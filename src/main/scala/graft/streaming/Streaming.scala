@@ -247,7 +247,8 @@ object Streaming {
     * ids × batch-scoped overwrite.
     */
   def materializedBatchWriter(outDir: String, nBuckets: Int = 16,
-      bucketOf: Int => org.apache.spark.sql.Column = graft.materialize.Materialize.bucketCol)(
+      bucketOf: Int => org.apache.spark.sql.Column = graft.materialize.Materialize.bucketCol,
+      aliasFp: Option[Long] = None)(
       batch: Dataset[Triple], batchId: Long): Unit = {
     import graft.materialize.Materialize
     val t0 = System.nanoTime()
@@ -291,6 +292,23 @@ object Streaming {
     Seq(graft.model.StreamMetricRow("stream_ingest", batchId, total, total,
       System.nanoTime() - t0)).toDS().toDF()
       .write.mode("overwrite").parquet(s"$outDir/_metrics/batch-$batchId")
+    // Alias-version watermark: record WHICH alias map this batch's
+    // provenance reflects (Canon.aliasFingerprint of the drain snapshot) so
+    // Recanon can skip the staleness scan of batches already current under
+    // a fresh map — steady-state compaction becomes metadata-only instead
+    // of a full-history provenance scan per canon cadence. Unversioned
+    // (None — legacy Map-only entry points, or AliasNone raw drains) writes
+    // nothing: the batch stays a permanent scan candidate, which is the
+    // safe direction. Overwrite/delete keeps the at-least-once replay
+    // contract, same as the other two sidecars.
+    aliasFp match {
+      case Some(f) =>
+        Seq((batchId, f)).toDF("batch_id", "alias_fp")
+          .write.mode("overwrite").parquet(s"$outDir/_alias/batch-$batchId")
+      case None =>
+        graft.util.TempDirs.delete(
+          java.nio.file.Paths.get(s"$outDir/_alias/batch-$batchId"))
+    }
   }
 
   /** [[runTriplesStreamOnce]] with the materialized sink: same AvailableNow
@@ -334,10 +352,10 @@ object Streaming {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.canon.Canon.{AliasFrame, AliasMap, AliasNone}
     val (stream, rewrite) = snapshot match {
-      case AliasMap(m) =>
+      case AliasMap(m, _) =>
         (triplesStream(spark, pagesDir, gazetteer, m, maxFilesPerTrigger),
           identity[Dataset[Triple]] _)
-      case AliasFrame(df) =>
+      case AliasFrame(df, _) =>
         (pageTriplesRaw(pagesStream(spark, pagesDir, maxFilesPerTrigger), gazetteer),
           (b: Dataset[Triple]) => rewriteProv(b, df))
       case AliasNone =>
@@ -350,7 +368,7 @@ object Streaming {
       .outputMode(OutputMode.Append())
       .trigger(trigger)
       .foreachBatch((b: Dataset[Triple], id: Long) =>
-        materializedBatchWriter(outDir, nBuckets, bucketOf)(rewrite(b), id))
+        materializedBatchWriter(outDir, nBuckets, bucketOf, snapshot.fp)(rewrite(b), id))
       .start()
   }
 

@@ -191,9 +191,11 @@ class StreamingSpec extends SparkSpec {
     val allBatches = spark.read.parquet(s"$out/triples")
       .select(col("batch_id").cast("long")).distinct().as[Long].collect().toSet
 
-    // Compact with the fresh map → table equals the batch flagship.
+    // Compact with the fresh map → table equals the batch flagship. The
+    // Map-overload drain is UNVERSIONED, so every batch is a scan candidate.
     val report = Recanon.recanonicalize(spark, out, canonDf)
     assert(report.batchesRewritten.nonEmpty)
+    assert(report.batchesScanned.toSet == allBatches)
     assert(report.batchesRewritten.toSet.subsetOf(allBatches))
     assert(report.rowsAfter <= report.rowsBefore) // dedup can only shrink
     val compacted = spark.read.parquet(s"$out/triples")
@@ -210,9 +212,12 @@ class StreamingSpec extends SparkSpec {
     val audit = spark.read.parquet(s"$out/_compactions/compact-${report.compactionId}")
     assert(audit.count() == report.batchesRewritten.size)
 
-    // Idempotent: a second compaction under the same map is the fast path.
+    // Idempotent: a second compaction under the same map is the fast path —
+    // and METADATA-ONLY: the first compaction stamped every batch with the
+    // fresh map's fingerprint, so no batch is even scanned.
     val again = Recanon.recanonicalize(spark, out, canonDf)
     assert(again.batchesRewritten.isEmpty)
+    assert(again.batchesScanned.isEmpty)
     assert(grouped(spark.read.parquet(s"$out/triples")
       .select("subj", "pred", "obj", "url", "score")
       .as[graft.model.Triple].collect()) == grouped(batch.collect()))
@@ -230,9 +235,45 @@ class StreamingSpec extends SparkSpec {
     val third = Recanon.recanonicalize(spark, out, canonDf)
     assert(third.batchesRewritten == Seq(victim),
       s"expected only batch $victim rewritten, got ${third.batchesRewritten}")
+    // ...and the replay (unversioned writer) was the ONLY batch scanned:
+    // the others kept their watermark and were skipped metadata-only.
+    assert(third.batchesScanned == Seq(victim))
     assert(grouped(spark.read.parquet(s"$out/triples")
       .select("subj", "pred", "obj", "url", "score")
       .as[graft.model.Triple].collect()) == grouped(batch.collect()))
+  }
+
+  test("alias-version watermark: a snapshot-versioned drain makes same-map compaction metadata-only") {
+    import graft.streaming.Recanon
+    val (pages, batch, canon) = flagshipFixture
+    val canonDf = canon.toSeq.toDF("surface", "canonical")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-watermark-spec")
+    val in = s"$tmp/pages"; val out = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+    pages.repartition(2).write.parquet(in)
+    // snapshotBounded carries the alias fingerprint → the sink records a
+    // per-batch watermark at drain time.
+    val snap = graft.canon.Canon.snapshotBounded(canonDf)
+    assert(snap.fp.isDefined)
+    Streaming.runTriplesStreamMaterialized(spark, in, out, ckpt, gaz, snap, 1, 16)
+    val aliasMarks = new java.io.File(s"$out/_alias").list()
+      .count(_.startsWith("batch-"))
+    assert(aliasMarks >= 2, s"expected per-batch alias marks, got $aliasMarks")
+    // Same-map compaction: nothing scanned, nothing rewritten — the
+    // steady-state per-cadence cost is reading the watermark sidecars only.
+    val r = Recanon.recanonicalize(spark, out, canonDf)
+    assert(r.batchesScanned.isEmpty && r.batchesRewritten.isEmpty)
+    // A DIFFERENT map invalidates every watermark: all batches scan (and
+    // here rewrite — the merged surface's canonical changes).
+    val (aSurf, aCanon) = canon.head
+    val merged = canonDf.withColumn("canonical",
+      when(col("canonical") === aCanon, lit(aCanon + " (merged)"))
+        .otherwise(col("canonical")))
+    val r2 = Recanon.recanonicalize(spark, out, merged)
+    assert(r2.batchesScanned.nonEmpty)
+    assert(r2.batchesRewritten.nonEmpty)
+    // ...and compacting AGAIN under the changed map is metadata-only.
+    val r3 = Recanon.recanonicalize(spark, out, merged)
+    assert(r3.batchesScanned.isEmpty && r3.batchesRewritten.isEmpty)
   }
 
   test("repairSidecars rebuilds lost lineage/metrics from the table (compaction crash window)") {
