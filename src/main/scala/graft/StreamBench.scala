@@ -102,6 +102,13 @@ object StreamBench {
     val (nTriples, batchSum) = graft.pipeline.Pipeline.tripleChecksum(
       graft.relations.Relations.cooccurrence(ms)
         .unionByName(graft.relations.Relations.mentionedIn(ms, canonDf)).toDF())
+    // Recanon mode materializes the alias table WHILE the mention cache is
+    // live (untimed — the production compact reads the periodic batch
+    // job's written alias parquet); writing it after unpersist would
+    // re-run the whole amplified-corpus scan + canonicalization.
+    val aliasPath = s"$tmp/alias"
+    if (mode == "recanon")
+      canonDf.write.mode("overwrite").parquet(aliasPath)
     ms.unpersist()
 
     val json = mode match {
@@ -109,7 +116,7 @@ object StreamBench {
         runPaced(spark, tmp.toString, in, gaz, canon, nTriples, batchSum,
           perTrigger, nFiles, amplify, cpus, canonSec, sfDir)
       case "recanon" =>
-        runRecanon(spark, tmp.toString, in, gaz, canonDf, nTriples, batchSum,
+        runRecanon(spark, tmp.toString, in, gaz, aliasPath, nTriples, batchSum,
           perTrigger, nFiles, amplify, cpus, canonSec, sfDir)
       case _ =>
         runDrain(spark, tmp.toString, in, gaz, canon, nTriples, batchSum,
@@ -160,16 +167,13 @@ object StreamBench {
     * equality q_stream_recanon gates at sf0.01.
     */
   private def runRecanon(spark: SparkSession, tmp: String, in: String,
-      gaz: Array[(String, String)], canonDf: org.apache.spark.sql.DataFrame,
+      gaz: Array[(String, String)], aliasPath: String,
       nTriples: Long, batchSum: Long, perTrigger: Int, nFiles: Int,
       amplify: Int, cpus: String, canonSec: Double, sfDir: String): String = {
     val out = s"$tmp/sink_raw"; val ckpt = s"$tmp/ckpt_raw"
-    // Materialize the alias table first (untimed): the production compact
-    // reads the periodic batch job's WRITTEN alias parquet (Submit's
-    // --canon-out → compact --canon flow); passing the live canon DAG
-    // would re-run canonicalization inside every timed fingerprint/join.
-    val aliasPath = s"$tmp/alias"
-    canonDf.write.mode("overwrite").parquet(aliasPath)
+    // The alias table was materialized by main while the mention cache was
+    // live: the production compact reads the periodic batch job's WRITTEN
+    // alias parquet (Submit's --canon-out → compact --canon flow).
     val aliasTable = spark.read.parquet(aliasPath)
     val t0d = System.nanoTime()
     graft.streaming.Streaming.runTriplesStreamMaterialized(spark, in, out,

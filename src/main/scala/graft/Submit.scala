@@ -178,14 +178,17 @@ object Submit {
         Streaming.startTriplesStreamMaterialized(spark, in, out, ckpt, gaz,
           snapshot, perTrigger, nBuckets, Trigger.AvailableNow(), bucketOf)
           .awaitTermination()
+        println(s"[submit] stream: drained $in into $out (checkpoint $ckpt)")
       case Some(ms) =>
+        // Continuous mode: awaitTermination returns only on an external
+        // stop/kill (checkpoint resumes the feed position on re-invoke).
         Streaming.startTriplesStreamMaterialized(spark, in, out, ckpt, gaz,
           snapshot, perTrigger, nBuckets,
           Trigger.ProcessingTime(ms.toLong, java.util.concurrent.TimeUnit.MILLISECONDS),
           bucketOf)
-          .awaitTermination() // runs until killed; checkpoint resumes
+          .awaitTermination()
+        println(s"[submit] stream: stopped continuous ingest of $in into $out (checkpoint $ckpt)")
     }
-    println(s"[submit] stream: drained $in into $out (checkpoint $ckpt)")
   }
 
   private def runCompact(spark: SparkSession, opts: Map[String, String]): Unit = {

@@ -493,8 +493,14 @@ object Canon {
     */
   def snapshotBounded(canonMap: DataFrame,
       maxRows: Long = SnapshotMaxRows): AliasSnapshot = {
-    val fp = Some(aliasFingerprint(canonMap))
-    if (canonMap.count() <= maxRows) AliasMap(snapshot(canonMap), fp)
+    // ONE aggregate pins both the gate count and the watermark fingerprint
+    // — not two full passes over an uncached multi-million-row dimension.
+    val r = canonMap.agg(count(lit(1)),
+      sum(xxhash64(col("surface"), col("canonical"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
+    val n = r.getLong(0)
+    val fp = Some(if (r.isNullAt(1)) 0L else r.getDecimal(1).toBigInteger.longValue())
+    if (n <= maxRows) AliasMap(snapshot(canonMap), fp)
     else AliasFrame(canonMap, fp)
   }
 

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.relations.Relations
+import graft.util.SinkFs
 
 /** Re-canonicalization compaction — the lambda split's missing half.
   *
@@ -26,7 +27,9 @@ import graft.relations.Relations
   * of work the streaming sink itself pays per micro-batch). The alias map
   * joins without a broadcast hint, so Catalyst broadcasts it while it fits
   * and shuffles past that — the same unbounded-dimension policy as
-  * [[Streaming.rewriteProv]].
+  * [[Streaming.rewriteProv]]. All driver-side metadata ops go through the
+  * Hadoop FileSystem of the sink URI ([[graft.util.SinkFs]]), so the job
+  * works on object-store sinks, not only file://.
   *
   * Idempotency: canonical representatives map to themselves in a
   * [[graft.canon.Canon.canonicalMap]] output, so a second compaction under
@@ -47,20 +50,30 @@ object Recanon {
       batchesRewritten: Seq[Long], rowsBefore: Long, rowsAfter: Long,
       batchesScanned: Seq[Long] = Nil)
 
-  private def exists(p: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(p))
-
-  /** Names under `dir` starting with `prefix`, or Nil if absent. */
-  private def listPrefixed(dir: String, prefix: String): Seq[String] = {
-    val d = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.exists(d)) Nil
-    else {
-      import scala.jdk.CollectionConverters._
-      val ls = java.nio.file.Files.list(d)
-      try ls.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith(prefix)).toSeq
-      finally ls.close()
-    }
+  /** One batch's lineage + metrics sidecar refresh — the shared write
+    * contract of the compaction loop and [[repairSidecars]] (and mirroring
+    * [[Streaming.materializedBatchWriter]]): per-bucket LineageRows
+    * overwrite `_lineage/batch-<b>` (truncated when the batch shrank to
+    * zero rows — a stale non-empty sidecar must not survive), one
+    * StreamMetricRow overwrites `_metrics/batch-<b>`. Metric rows stamp
+    * nanos=0: ONE job produced every batch's rows, so a per-batch wall
+    * time does not exist and is not faked (consumers like StreamBench's
+    * paced mode read `_metrics` nanos as per-batch ingest latency).
+    */
+  private def writeBatchSidecars(spark: SparkSession, outDir: String,
+      b: Long, buckets: Seq[(Int, Long)], stage: String): Unit = {
+    import spark.implicits._
+    val rows = buckets.sortBy(_._1).map { case (k, n) =>
+      graft.materialize.Materialize.LineageRow("stream_triples", k, b, n) }
+    if (rows.nonEmpty)
+      rows.toDS().toDF().write.mode("overwrite")
+        .parquet(s"$outDir/_lineage/batch-$b")
+    else
+      SinkFs.deleteLoud(spark, s"$outDir/_lineage/batch-$b")
+    val total = buckets.map(_._2).sum
+    Seq(graft.model.StreamMetricRow(stage, b, total, total, 0L))
+      .toDS().toDF().write.mode("overwrite")
+      .parquet(s"$outDir/_metrics/batch-$b")
   }
 
   /** Rewrite every materialized micro-batch whose provenance subjects are
@@ -86,7 +99,7 @@ object Recanon {
       canonMap: DataFrame): CompactionReport = {
     import spark.implicits._
     val t0 = System.nanoTime()
-    if (!exists(s"$outDir/triples"))
+    if (!SinkFs.exists(spark, s"$outDir/triples"))
       return CompactionReport(-1L, Nil, 0L, 0L)
     val alias = canonMap.select(col("surface"), col("canonical"))
     val freshFp = graft.canon.Canon.aliasFingerprint(alias)
@@ -94,9 +107,9 @@ object Recanon {
     // Watermark gate: disk batches minus those already recorded at the
     // fresh map's fingerprint.
     val diskBatches: Seq[Long] =
-      listPrefixed(s"$outDir/triples", "batch_id=")
+      SinkFs.listPrefixed(spark, s"$outDir/triples", "batch_id=")
         .map(_.stripPrefix("batch_id=").toLong).sorted
-    val aliasDirs = listPrefixed(s"$outDir/_alias", "batch-")
+    val aliasDirs = SinkFs.listPrefixed(spark, s"$outDir/_alias", "batch-")
       .map(n => s"$outDir/_alias/$n")
     val recordedFp: Map[Long, Long] =
       if (aliasDirs.isEmpty) Map.empty
@@ -134,7 +147,8 @@ object Recanon {
     // Batch-subdir sidecars listed explicitly (a `/*` glob works too, but
     // Spark's source resolution logs a WARN stack probing the glob path).
     val lineageDirs: Seq[String] =
-      listPrefixed(s"$outDir/_lineage", "batch-").map(n => s"$outDir/_lineage/$n")
+      SinkFs.listPrefixed(spark, s"$outDir/_lineage", "batch-")
+        .map(n => s"$outDir/_lineage/$n")
     val beforeByBatch: Map[Long, Long] =
       if (lineageDirs.isEmpty) Map.empty
       else spark.read.parquet(lineageDirs: _*)
@@ -146,18 +160,8 @@ object Recanon {
     // so a bucket whose rows all vanish (subjects dropped by the fresh map)
     // must be deleted explicitly afterwards.
     val diskBucketsBefore: Map[Long, Set[Int]] = staleBatches.map { b =>
-      val d = java.nio.file.Paths.get(s"$outDir/triples/batch_id=$b")
-      val set =
-        if (!java.nio.file.Files.exists(d)) Set.empty[Int]
-        else {
-          import scala.jdk.CollectionConverters._
-          val ls = java.nio.file.Files.list(d)
-          try ls.iterator().asScala.map(_.getFileName.toString)
-            .filter(_.startsWith("bucket="))
-            .map(_.stripPrefix("bucket=").toInt).toSet
-          finally ls.close()
-        }
-      b -> set
+      b -> SinkFs.listPrefixed(spark, s"$outDir/triples/batch_id=$b", "bucket=")
+        .map(_.stripPrefix("bucket=").toInt).toSet
     }.toMap
 
     // Rewrite: co-occurrence rows pass through; provenance rows join to
@@ -174,55 +178,44 @@ object Recanon {
       .distinct()
     val rewritten = cooc.unionByName(prov).cache()
     try {
+      // Counts job FIRST (it materializes the cache from the still-intact
+      // old files), the overwrite second: consuming the cache after the
+      // overwrite would recompute from DELETED source files if any cached
+      // block were lost (executor death on a cluster), crashing the
+      // compaction after the data had already committed.
+      val counts = rewritten
+        .groupBy(col("batch_id").cast("long").as("b"), col("bucket").cast("int").as("k"))
+        .agg(count(lit(1)).as("n"))
+        .as[(Long, Int, Long)].collect()
       // ONE data job: all affected (batch_id, bucket) partitions at once.
+      // (A recompute during this job still reads the old files — dynamic
+      // overwrite swaps partitions only at commit.)
       rewritten
         .repartition(col("batch_id"), col("bucket"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id", "bucket")
         .parquet(s"$outDir/triples")
-      val counts = rewritten
-        .groupBy(col("batch_id").cast("long").as("b"), col("bucket").cast("int").as("k"))
-        .agg(count(lit(1)).as("n"))
-        .as[(Long, Int, Long)].collect()
       val byBatch = counts.groupBy(_._1)
-      // Emptied partitions: on disk before, absent from the rewrite.
+      // Emptied partitions: on disk before, absent from the rewrite. LOUD
+      // deletion — a swallowed failure here would leave stale rows in the
+      // table that the refreshed lineage no longer accounts for.
       staleBatches.foreach { b =>
         val after = byBatch.getOrElse(b, Array.empty[(Long, Int, Long)]).map(_._2).toSet
         (diskBucketsBefore.getOrElse(b, Set.empty) -- after).foreach { k =>
-          graft.util.TempDirs.delete(
-            java.nio.file.Paths.get(s"$outDir/triples/batch_id=$b/bucket=$k"))
+          SinkFs.deleteLoud(spark, s"$outDir/triples/batch_id=$b/bucket=$k")
         }
       }
       val nanos = System.nanoTime() - t0
-      // Sidecar refresh per rewritten batch — identical contract to
-      // Streaming.materializedBatchWriter (lineage dir truncated when the
-      // batch shrank to zero rows; metrics row written unconditionally).
-      // The metrics rows stamp nanos=0, same principle as repairSidecars:
-      // ONE job rewrote every batch, so a per-batch wall time does not
-      // exist and is not faked (consumers like StreamBench's paced mode
-      // read _metrics nanos as per-batch ingest latency); the real
-      // whole-compaction time rides the _compactions audit row below.
       staleBatches.foreach { b =>
-        val rows = byBatch.getOrElse(b, Array.empty[(Long, Int, Long)]).sortBy(_._2)
-          .map { case (_, k, n) =>
-            graft.materialize.Materialize.LineageRow("stream_triples", k, b, n) }
-          .toSeq
-        if (rows.nonEmpty)
-          rows.toDS().toDF().write.mode("overwrite")
-            .parquet(s"$outDir/_lineage/batch-$b")
-        else
-          graft.util.TempDirs.delete(
-            java.nio.file.Paths.get(s"$outDir/_lineage/batch-$b"))
-        val total = byBatch.getOrElse(b, Array.empty[(Long, Int, Long)]).map(_._3).sum
-        Seq(graft.model.StreamMetricRow("stream_recanon", b, total, total, 0L))
-          .toDS().toDF().write.mode("overwrite")
-          .parquet(s"$outDir/_metrics/batch-$b")
+        writeBatchSidecars(spark, outDir, b,
+          byBatch.getOrElse(b, Array.empty[(Long, Int, Long)])
+            .map { case (_, k, n) => (k, n) }.toSeq, "stream_recanon")
       }
       // Compaction record: an append-only audit trail of WHAT was rewritten
       // and by how much, separate from the per-batch sidecars so their
       // table-total invariants stay untouched.
-      val compactionId = nextCompactionId(outDir)
+      val compactionId = nextCompactionId(spark, outDir)
       val report = staleBatches.map { b =>
         CompactionRow(compactionId, b, beforeByBatch.getOrElse(b, 0L),
           byBatch.getOrElse(b, Array.empty[(Long, Int, Long)]).map(_._3).sum, nanos)
@@ -237,44 +230,30 @@ object Recanon {
     } finally rewritten.unpersist()
   }
 
-  private def nextCompactionId(outDir: String): Long = {
-    val d = java.nio.file.Paths.get(s"$outDir/_compactions")
-    if (!java.nio.file.Files.exists(d)) 0L
-    else {
-      import scala.jdk.CollectionConverters._
-      val ls = java.nio.file.Files.list(d)
-      try {
-        val ids = ls.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("compact-")).map(_.stripPrefix("compact-").toLong)
-        if (ids.isEmpty) 0L else ids.max + 1L
-      } finally ls.close()
-    }
+  private def nextCompactionId(spark: SparkSession, outDir: String): Long = {
+    val ids = SinkFs.listPrefixed(spark, s"$outDir/_compactions", "compact-")
+      .map(_.stripPrefix("compact-").toLong)
+    if (ids.isEmpty) 0L else ids.max + 1L
   }
 
   /** Rebuild every batch's lineage and metrics sidecars from the table
     * itself: the remediation for a crash between a compaction's data job
     * and its sidecar refresh (or any external sidecar loss). One aggregate
-    * job over the table, then per-batch metadata writes. Metric rows are
-    * stamped stage `sidecar_repair` — original ingest wall-times are not
-    * reconstructable and are not faked. Returns (batches rebuilt, total
-    * rows accounted) so a caller can report/verify the repair.
+    * job over the table, then per-batch metadata writes (stage
+    * `sidecar_repair` — see [[writeBatchSidecars]] for the nanos=0
+    * contract). Returns (batches rebuilt, total rows accounted) so a
+    * caller can report/verify the repair.
     */
   def repairSidecars(spark: SparkSession, outDir: String): (Long, Long) = {
     import spark.implicits._
-    if (!exists(s"$outDir/triples")) return (0L, 0L)
+    if (!SinkFs.exists(spark, s"$outDir/triples")) return (0L, 0L)
     val counts = spark.read.parquet(s"$outDir/triples")
       .groupBy(col("batch_id").cast("long").as("b"), col("bucket").cast("int").as("k"))
       .agg(count(lit(1)).as("n"))
       .as[(Long, Int, Long)].collect()
     counts.groupBy(_._1).foreach { case (b, rows) =>
-      rows.sortBy(_._2).map { case (_, k, n) =>
-        graft.materialize.Materialize.LineageRow("stream_triples", k, b, n) }
-        .toSeq.toDS().toDF().write.mode("overwrite")
-        .parquet(s"$outDir/_lineage/batch-$b")
-      val total = rows.map(_._3).sum
-      Seq(graft.model.StreamMetricRow("sidecar_repair", b, total, total, 0L))
-        .toDS().toDF().write.mode("overwrite")
-        .parquet(s"$outDir/_metrics/batch-$b")
+      writeBatchSidecars(spark, outDir, b,
+        rows.map { case (_, k, n) => (k, n) }.toSeq, "sidecar_repair")
     }
     (counts.map(_._1).distinct.length.toLong, counts.map(_._3).sum)
   }

@@ -282,9 +282,9 @@ object Streaming {
       // A replayed batch can legitimately shrink to zero rows (at-least-once
       // recovery after the inputs' effective content changed); truncating
       // the batch's lineage dir keeps the idempotency contract — a stale
-      // non-empty lineage from the failed attempt must not survive.
-      graft.util.TempDirs.delete(
-        java.nio.file.Paths.get(s"$outDir/_lineage/batch-$batchId"))
+      // non-empty lineage from the failed attempt must not survive. LOUD
+      // and through the sink's Hadoop FS (works on object-store sinks).
+      graft.util.SinkFs.deleteLoud(spark, s"$outDir/_lineage/batch-$batchId")
     // The metrics row is written for EVERY batch (empty ones included) so
     // the sidecar exists whenever at least one micro-batch committed; the
     // sink passes rows through, hence rows_in == rows_out (StreamMetricRow).
@@ -306,8 +306,7 @@ object Streaming {
         Seq((batchId, f)).toDF("batch_id", "alias_fp")
           .write.mode("overwrite").parquet(s"$outDir/_alias/batch-$batchId")
       case None =>
-        graft.util.TempDirs.delete(
-          java.nio.file.Paths.get(s"$outDir/_alias/batch-$batchId"))
+        graft.util.SinkFs.deleteLoud(spark, s"$outDir/_alias/batch-$batchId")
     }
   }
 
