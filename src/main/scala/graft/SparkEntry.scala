@@ -86,6 +86,25 @@ object SparkEntry {
           expr(s"substring(text, greatest(1, start + 1 - $c), " +
             s"least(`end` + $c, length(text)) - greatest(0, start - $c))").as("context"))
     }),
+    // C1/C2 incremental refresh: split the corpus deterministically into an
+    // initial ingest (even url hash) and a delta batch (odd), run the full
+    // canon job on the initial half, fold the delta in with
+    // Canon.canonicalMapIncremental, and hand the ORACLE the full-corpus
+    // canon SQL — the engine's exactness theorem (incremental == full when
+    // no token crosses the stop-token cap) is what the hash check verifies.
+    // The require pins that the INCREMENTAL path (not its full-job
+    // fallback) produced the row — the fallback branch is spec-covered with
+    // a lowered cap (CanonSpec).
+    "q_canon_incr" -> ((s, dir) => {
+      val ms = Pipeline.mentionsCached(s, dir)
+      val half = pmod(xxhash64(col("url")), lit(2))
+      val st = Canon.canonicalState(ms.filter(half === 0))
+      val refreshed = Canon.canonicalMapIncremental(st, ms.filter(half === 1))
+      require(!refreshed.fellBack,
+        "incremental canon fell back to the full job on this corpus — " +
+          "a token block crossed MaxTokenBlock between the halves")
+      refreshed.state.canonMap
+    }),
     // C8/A3/A10: canonical-keyed rollup with alias sets under oracle
     "q_entity_aliases" -> ((s, dir) => {
       graft.aggregate.Entities.canonicalRollup(
@@ -472,6 +491,8 @@ object SparkEntry {
     "q_entity_aliases" -> Oracle.qEntityAliases,
     "q_linked_partition" -> Oracle.qLinkedPartition,
     "q_canon" -> Oracle.qCanon,
+    // incremental refresh must equal the full job — same oracle by design
+    "q_canon_incr" -> Oracle.qCanon,
     "q_triples" -> Oracle.qTriples,
     "q_entity_prov" -> Oracle.qEntityProv,
     "q_cc_dist" -> Oracle.qCcDist,

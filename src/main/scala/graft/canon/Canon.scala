@@ -112,6 +112,17 @@ object Canon {
           col("x.surface") < col("y.surface"))
       .select(col("x.surface").as("a"), col("y.surface").as("b"))
       .distinct()
+    verifyEdges(cand, stats)
+  }
+
+  /** Reference-threshold verification of candidate pairs (a, b) against the
+    * full per-surface dims: equal normalized keys OR Levenshtein ratio >
+    * 0.79 OR word overlap ≥ 0.65 — the shared verify stage of every
+    * candidate-generation scheme here (token blocking, MinHash bands, delta
+    * blocking). All three predicates are symmetric in (a, b), so any
+    * canonical pair orientation verifies identically.
+    */
+  private def verifyEdges(cand: DataFrame, stats: DataFrame): DataFrame = {
     val dims = stats.select(col("surface"), col("sim_key"), col("words"))
     val overlap = size(array_intersect(col("wa"), col("wb"))).cast("double") /
       greatest(size(col("wa")), size(col("wb"))).cast("double")
@@ -421,9 +432,13 @@ object Canon {
     * deterministic stand-in for the reference's temperature-0 LLM pick
     * (SURVEY §2.7 C2). Mirrored by a row_number window in the DuckDB oracle.
     */
-  def canonicalMap(mentions: Dataset[Mention]): DataFrame = {
-    val stats = surfaceStats(mentions)
-    val comps = connectedComponents(stats.select("surface"), similarityEdges(stats))
+  def canonicalMap(mentions: Dataset[Mention]): DataFrame =
+    canonicalState(mentions).canonMap
+
+  /** Representative pick over (surface, component) labels + per-surface
+    * stats — the shared tail of the full and incremental canon jobs.
+    */
+  def canonicalPick(stats: DataFrame, comps: DataFrame): DataFrame = {
     val ranked = stats.join(comps, "surface")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("component")).orderBy(
@@ -434,6 +449,130 @@ object Canon {
     val canon = ranked.filter(col("rn") === 1)
       .select(col("component"), col("surface").as("canonical"))
     comps.join(canon, "component").select(col("surface"), col("canonical"))
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental canonicalization (the production refresh shape): at 100 TB
+  // the periodic batch canon job must not re-join the full surface dimension
+  // against itself per refresh — a day's delta is orders of magnitude
+  // smaller than the accumulated corpus. The engine carries (stats, map)
+  // forward and pays only delta-proportional edge generation.
+  // ------------------------------------------------------------------
+
+  /** Carried state of the periodic canon job: the per-surface stats
+    * dimension ([[surfaceStats]] schema) and the alias map it produced.
+    * Both are dimension-sized (one row per distinct PERSON surface) — in a
+    * production deployment they live as parquet tables between refreshes.
+    */
+  final case class CanonState(stats: DataFrame, canonMap: DataFrame)
+
+  /** Refresh outcome: the new carried state, whether the exactness guard
+    * forced a full recompute, and how many distributed CC rounds ran.
+    */
+  final case class CanonRefresh(state: CanonState, fellBack: Boolean)
+
+  /** Full canon job, returning the carry-forward [[CanonState]]. */
+  def canonicalState(mentions: Dataset[Mention],
+      maxBlock: Long = Config.MaxTokenBlock): CanonState = {
+    val stats = surfaceStats(mentions)
+    val comps = connectedComponents(stats.select("surface"),
+      similarityEdges(stats, maxBlock))
+    CanonState(stats, canonicalPick(stats, comps))
+  }
+
+  /** Merge the carried stats dimension with a delta batch's stats: mention
+    * counts add per surface; sim_key/words are pure functions of the
+    * surface. One map-side-combinable shuffle over two dimension tables.
+    */
+  def mergeStats(oldStats: DataFrame, deltaStats: DataFrame): DataFrame =
+    oldStats.select(col("surface"), col("n_mentions"))
+      .unionByName(deltaStats.select(col("surface"), col("n_mentions")))
+      .groupBy(col("surface"))
+      .agg(sum(col("n_mentions")).as("n_mentions"))
+      .withColumn("sim_key", graft.functions.expressions.simkey(col("surface")))
+      .withColumn("words", array_distinct(split(col("sim_key"), " ")))
+
+  /** Similarity edges incident to the NEW surfaces only, under the MERGED
+    * dimension's stop-token cap — candidate cost is |new| × block sizes,
+    * never |merged|². Verification scores full word arrays, exactly as the
+    * full job does.
+    */
+  def deltaEdges(mergedStats: DataFrame, newSurfaces: DataFrame,
+      maxBlock: Long = Config.MaxTokenBlock): DataFrame = {
+    val toks = mergedStats.select(col("surface"), col("words"))
+      .withColumn("tok", explode(col("words")))
+    val coldToks = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxBlock).select(col("tok"))
+    val blockToks = toks.join(coldToks, Seq("tok"), "left_semi")
+      .select(col("surface"), col("tok"))
+    val newToks = blockToks.join(newSurfaces.select(col("surface")),
+      Seq("surface"), "left_semi")
+    val cand = newToks.as("x").join(blockToks.as("y"),
+        col("x.tok") === col("y.tok") && col("x.surface") =!= col("y.surface"))
+      .select(least(col("x.surface"), col("y.surface")).as("a"),
+        greatest(col("x.surface"), col("y.surface")).as("b"))
+      .distinct()
+    verifyEdges(cand, mergedStats)
+  }
+
+  /** Incremental canon refresh: fold a delta mention batch into a carried
+    * [[CanonState]] and return the refreshed state, EXACTLY equal to a full
+    * [[canonicalState]] over the union corpus (CanonSpec property).
+    *
+    * Why it is exact: edges depend only on the surface dimension and the
+    * per-token block cap. Surfaces only accumulate, so token df only grows
+    * — a full run over the merged dimension generates old↔old candidates
+    * through tokens still cold in MERGED, all of which were cold in OLD too,
+    * so merged-full old↔old edges ⊆ old edges, and old connectivity (carried
+    * as the old map's star contraction pairs) subsumes them. Edges touching
+    * a new surface are regenerated by [[deltaEdges]] under the merged cap.
+    * The ONE non-monotone case: a token whose block crosses the cap
+    * (df_old ∈ [2, cap], df_merged > cap) — a fresh full run would DROP
+    * old↔old pairs whose only generating token it was, splitting components
+    * the carried state keeps merged. That case is detected with one
+    * dimension-sized aggregate and answered by falling back to the full job
+    * over the merged stats (`fellBack = true`); in a web corpus a token
+    * crosses a 1000-surface block once ever, not per refresh, so the
+    * amortized cost stays delta-proportional.
+    *
+    * The canonical pick re-ranks ALL merged surfaces (n_mentions — rank key
+    * 3 — moves with every delta), but that is a dimension-sized window, not
+    * a corpus-sized one.
+    */
+  def canonicalMapIncremental(old: CanonState, deltaMentions: Dataset[Mention],
+      maxBlock: Long = Config.MaxTokenBlock): CanonRefresh = {
+    val ck = org.apache.spark.sql.GraftSqlShims.localCheckpointFreshLazy _
+    // Checkpoint the merged dimension: it feeds the cap-crossing gate, the
+    // delta blocking, the CC vertex set, and the pick — without the cut,
+    // each consumer action would re-scan the delta mention source.
+    val merged = ck(mergeStats(old.stats, surfaceStats(deltaMentions)))
+    def tokenDf(stats: DataFrame, alias: String): DataFrame =
+      stats.select(explode(col("words")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as(alias))
+    // Exactness gate (materializes the checkpoint): any token crossing the
+    // cold→hot cap boundary with ≥2 old surfaces invalidates carried edges.
+    val crossed = !tokenDf(merged, "df_new")
+      .join(tokenDf(old.stats, "df_old"), Seq("tok"))
+      .filter(col("df_old") >= 2 && col("df_old") <= maxBlock &&
+        col("df_new") > maxBlock)
+      .isEmpty
+    if (crossed) {
+      val comps = connectedComponents(merged.select("surface"),
+        similarityEdges(merged, maxBlock))
+      CanonRefresh(CanonState(merged, canonicalPick(merged, comps)), fellBack = true)
+    } else {
+      val newSurfaces = merged.join(old.stats.select(col("surface")),
+        Seq("surface"), "left_anti").select(col("surface"))
+      // Old connectivity enters as the old map's star contraction pairs
+      // (canonical, member) — already a star forest, so the CC loop pays
+      // O(1) rounds for them; only delta edges add structure.
+      val contraction = old.canonMap
+        .filter(col("surface") =!= col("canonical"))
+        .select(col("canonical").as("a"), col("surface").as("b"))
+      val edges = contraction.unionByName(deltaEdges(merged, newSurfaces, maxBlock))
+      val comps = connectedComponents(merged.select("surface"), edges)
+      CanonRefresh(CanonState(merged, canonicalPick(merged, comps)), fellBack = false)
+    }
   }
 
   /** Collect a [[canonicalMap]] result into the broadcastable alias snapshot

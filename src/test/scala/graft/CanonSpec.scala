@@ -180,4 +180,72 @@ class CanonSpec extends SparkSpec {
     // share no rare token
     assert(edges.size == 1)
   }
+
+  // --- incremental refresh ------------------------------------------------
+
+  private def mkMentions(surfaces: Seq[String], urlSalt: String = "u") = {
+    import spark.implicits._
+    surfaces.zipWithIndex.map { case (s, i) =>
+      graft.model.Mention(s"$urlSalt$i", 0, 0, s, "PERSON", 0, s.length, 1.0)
+    }.toDS()
+  }
+
+  private def asMap(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+    df.collect().map(r => r.getAs[String]("surface") -> r.getAs[String]("canonical")).toMap
+
+  test("incremental refresh equals the full job across url-hash splits of the live corpus") {
+    import org.apache.spark.sql.functions._
+    val ms = Pipeline.mentionsCached(spark, sfTiny)
+    val full = asMap(Canon.canonicalState(ms).canonMap)
+    // three different split seams: alias groups straddle each one
+    (0 to 2).foreach { salt =>
+      val half = pmod(xxhash64(col("url"), lit(salt)), lit(2))
+      val st = Canon.canonicalState(ms.filter(half === 0))
+      val r = Canon.canonicalMapIncremental(st, ms.filter(half === 1))
+      assert(!r.fellBack, s"salt=$salt unexpectedly crossed the token cap")
+      assert(asMap(r.state.canonMap) == full, s"salt=$salt diverged from full job")
+    }
+  }
+
+  test("incremental refresh: empty delta is a no-op, empty initial state is the full job") {
+    import spark.implicits._
+    val ms = Pipeline.mentionsCached(spark, sfTiny)
+    val full = Canon.canonicalState(ms)
+    val noDelta = Canon.canonicalMapIncremental(full, spark.emptyDataset[graft.model.Mention])
+    assert(!noDelta.fellBack)
+    assert(asMap(noDelta.state.canonMap) == asMap(full.canonMap))
+    val empty = Canon.canonicalState(spark.emptyDataset[graft.model.Mention])
+    val allDelta = Canon.canonicalMapIncremental(empty, ms)
+    assert(!allDelta.fellBack)
+    assert(asMap(allDelta.state.canonMap) == asMap(full.canonMap))
+  }
+
+  test("incremental refresh: merged stats carry summed mention counts") {
+    import org.apache.spark.sql.functions._
+    val oldMs = mkMentions(Seq("Ada Lovelace", "Ada Lovelace", "Alan Turing"), "a")
+    val newMs = mkMentions(Seq("Ada Lovelace", "Grace Hopper"), "b")
+    val r = Canon.canonicalMapIncremental(Canon.canonicalState(oldMs), newMs)
+    val counts = r.state.stats.select(col("surface"), col("n_mentions"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(counts == Map("Ada Lovelace" -> 3L, "Alan Turing" -> 1L, "Grace Hopper" -> 1L))
+  }
+
+  test("a token block crossing the cap forces the full-job fallback — and stays exact") {
+    // cap 2: token "alpha" has df_old = 2 (cold), df_merged = 3 (hot) —
+    // the ONLY non-monotone case of the incremental scheme
+    val oldMs = mkMentions(Seq("alpha one", "alpha two"), "a")
+    val newMs = mkMentions(Seq("alpha three"), "b")
+    val st = Canon.canonicalState(oldMs, maxBlock = 2)
+    val r = Canon.canonicalMapIncremental(st, newMs, maxBlock = 2)
+    assert(r.fellBack, "cap crossing must trigger the full-job fallback")
+    import spark.implicits._
+    val allMs = mkMentions(Seq("alpha one", "alpha two"), "a")
+      .unionByName(mkMentions(Seq("alpha three"), "b"))
+    assert(asMap(r.state.canonMap) ==
+      asMap(Canon.canonicalState(allMs, maxBlock = 2).canonMap))
+    // control: a delta that does NOT push any old ≥2-surface token past the
+    // cap stays on the incremental branch at the same cap
+    val quiet = Canon.canonicalMapIncremental(st, mkMentions(Seq("beta four"), "c"), maxBlock = 2)
+    assert(!quiet.fellBack)
+  }
 }
