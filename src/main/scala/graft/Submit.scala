@@ -38,6 +38,17 @@ import graft.streaming.{Recanon, Streaming}
   *    (surface-form subjects) for a later `compact` to canonicalize.
   *    Default trigger drains what is available and exits (re-invoke on a
   *    schedule = incremental ingest); `--trigger-ms` keeps it running.
+  *  - `refresh`: the periodic batch canon job in its incremental form —
+  *    fold a DELTA page table's mentions into the carried canon state
+  *    persisted under `--state` ([[Canon.canonicalMapIncremental]]: edge
+  *    generation proportional to the delta, exact vs the full job, with
+  *    the cap-crossing gate falling back to the full recompute). The
+  *    first invocation (no complete version yet) runs the full job. State
+  *    versions are `v<N>/{stats,alias}` parquet dirs published by a
+  *    `_DONE` flag — a crash mid-write leaves an unflagged dir the next
+  *    refresh ignores and reclaims. The input is a delta BY CONTRACT
+  *    (pages not already folded into the carried state), exactly like the
+  *    stream feed's at-most-once placement.
   *  - `compact`: re-canonicalization of the materialized stream sink under
   *    a fresh alias map ([[Recanon.recanonicalize]]) — rewrites only the
   *    micro-batches whose provenance went stale.
@@ -81,6 +92,7 @@ object Submit {
     cmd match {
       case "batch"   => runBatch(spark, opts)
       case "stream"  => runStream(spark, opts)
+      case "refresh" => runRefresh(spark, opts)
       case "compact" => runCompact(spark, opts)
       case "repair"  => runRepair(spark, opts)
       case other     => throw new IllegalArgumentException(s"unknown subcommand '$other'\n$usage")
@@ -90,6 +102,7 @@ object Submit {
   private val allowedOpts: Map[String, Set[String]] = Map(
     "batch"   -> Set("input", "output", "buckets", "batch-id", "bucket-by", "gazetteer", "canon-out"),
     "stream"  -> Set("input", "output", "checkpoint", "canon", "buckets", "files-per-trigger", "trigger-ms", "bucket-by", "gazetteer"),
+    "refresh" -> Set("input", "state", "gazetteer", "canon-out"),
     "compact" -> Set("output", "canon", "input", "gazetteer"),
     "repair"  -> Set("output"))
 
@@ -101,6 +114,8 @@ object Submit {
       |  stream  --input <pages feed dir> --output <sink dir> --checkpoint <dir>
       |          [--canon <alias parquet>] [--buckets 16] [--files-per-trigger 1]
       |          [--trigger-ms <n>] [--bucket-by hash|docid] [--gazetteer <parquet>]
+      |  refresh --input <delta pages parquet> --state <canon state dir>
+      |          [--gazetteer <parquet>] [--canon-out <alias dir>]
       |  compact --output <sink dir> (--canon <alias parquet> | --input <pages parquet>)
       |          [--gazetteer <parquet>]
       |  repair  --output <sink dir>   (rebuild lineage/metrics sidecars from the table)""".stripMargin
@@ -189,6 +204,45 @@ object Submit {
           .awaitTermination()
         println(s"[submit] stream: stopped continuous ingest of $in into $out (checkpoint $ckpt)")
     }
+  }
+
+  /** Incremental canon refresh over a delta page table — see the class doc.
+    * Reads the newest `_DONE`-flagged version as the carried state, writes
+    * the refreshed state as the next version, then reclaims superseded and
+    * crashed (unflagged) version dirs. `--canon-out` additionally overwrites
+    * a plain alias table at a stable path for `stream --canon` /
+    * `compact --canon` consumption. */
+  private def runRefresh(spark: SparkSession, opts: Map[String, String]): Unit = {
+    import graft.util.SinkFs
+    val state = req(opts, "state")
+    val ms = Mentions.scanWithRecall(
+      Extract.segments(Pages.fromParquet(spark, req(opts, "input"))),
+      gazetteerOf(spark, opts))
+    def done(v: Int): Boolean = SinkFs.exists(spark, s"$state/v$v/_DONE")
+    val versions = SinkFs.listPrefixed(spark, state, "v")
+      .flatMap(n => scala.util.Try(n.stripPrefix("v").toInt).toOption)
+    val cur = versions.filter(done).sorted.lastOption
+    val (st, how) = cur match {
+      case None => (Canon.canonicalState(ms), "full (initial)")
+      case Some(v) =>
+        val carried = Canon.CanonState(
+          spark.read.parquet(s"$state/v$v/stats"),
+          spark.read.parquet(s"$state/v$v/alias"))
+        val r = Canon.canonicalMapIncremental(carried, ms)
+        (r.state, if (r.fellBack) "full (cap-crossing fallback)" else "incremental")
+    }
+    val next = cur.map(_ + 1).getOrElse(0)
+    st.stats.write.mode("overwrite").parquet(s"$state/v$next/stats")
+    st.canonMap.write.mode("overwrite").parquet(s"$state/v$next/alias")
+    SinkFs.touch(spark, s"$state/v$next/_DONE")
+    // Keep the just-published version and its predecessor (manual rollback
+    // window); everything older — and any unflagged crash residue — goes.
+    versions.filter(v => cur.exists(_ > v) || !done(v))
+      .foreach(v => SinkFs.deleteLoud(spark, s"$state/v$v"))
+    opts.get("canon-out").foreach(p =>
+      spark.read.parquet(s"$state/v$next/alias").write.mode("overwrite").parquet(p))
+    val n = spark.read.parquet(s"$state/v$next/alias").count()
+    println(s"[submit] refresh: $how -> v$next ($n surfaces)")
   }
 
   private def runCompact(spark: SparkSession, opts: Map[String, String]): Unit = {

@@ -35,6 +35,14 @@ object SinkFs {
     else f.listStatus(hp).toSeq.map(_.getPath.getName).filter(_.startsWith(prefix))
   }
 
+  /** Create an empty flag file, parents included (the `_DONE` publication
+    * convention: create+close after a multi-file write completes is the
+    * closest to an atomic commit every Hadoop FS offers). */
+  def touch(spark: SparkSession, p: String): Unit = {
+    val (f, hp) = fs(spark, p)
+    f.create(hp, true).close()
+  }
+
   /** Recursive delete that must succeed (or find nothing to delete). */
   def deleteLoud(spark: SparkSession, p: String): Unit = {
     val (f, hp) = fs(spark, p)

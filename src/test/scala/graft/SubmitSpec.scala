@@ -113,6 +113,49 @@ class SubmitSpec extends SparkSpec {
       .agg(sum("rows_out")).head.getLong(0) == nTable)
   }
 
+  test("refresh folds page deltas into a versioned canon state, equal to the full job, and feeds the stream") {
+    val dir = scratch("graft-submit-refresh")
+    val pages = spark.read.parquet(pagesDir)
+    val half = pmod(xxhash64(col("url")), lit(2))
+    pages.filter(half === 0).write.parquet(s"$dir/delta0")
+    pages.filter(half === 1).write.parquet(s"$dir/delta1")
+
+    def aliasMap(v: Int): Map[String, String] =
+      spark.read.parquet(s"$dir/state/v$v/alias").collect()
+        .map(r => r.getAs[String]("surface") -> r.getAs[String]("canonical")).toMap
+    val full = Pipeline.canonCached(spark, sfTiny).collect()
+      .map(r => r.getAs[String]("surface") -> r.getAs[String]("canonical")).toMap
+
+    // initial refresh = full job over delta0, published as v0
+    Submit.run(spark, Array("refresh", "--input", s"$dir/delta0", "--state", s"$dir/state"))
+    assert(new java.io.File(s"$dir/state/v0/_DONE").exists())
+    // second refresh folds delta1 incrementally: v1 must equal the full job
+    Submit.run(spark, Array("refresh", "--input", s"$dir/delta1",
+      "--state", s"$dir/state", "--canon-out", s"$dir/alias"))
+    assert(aliasMap(1) == full)
+    // predecessor kept for rollback; --canon-out is a content copy of v1
+    assert(new java.io.File(s"$dir/state/v0/_DONE").exists())
+    assert(spark.read.parquet(s"$dir/alias").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap == full)
+
+    // the refreshed alias drives the stream to batch-flagship equality
+    Submit.run(spark, Array("stream", "--input", pagesDir,
+      "--output", s"$dir/sink", "--checkpoint", s"$dir/ckpt",
+      "--canon", s"$dir/alias", "--files-per-trigger", "2"))
+    assert(sinkChecksum(s"$dir/sink") == batchChecksum)
+
+    // crash residue (unflagged version dir) + an empty third delta: the
+    // refresh is a no-op on the map, publishes v2, reclaims v0 and the
+    // residue, and keeps v1 as the rollback window
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/state/v9/stats"))
+    pages.limit(0).write.parquet(s"$dir/delta_empty")
+    Submit.run(spark, Array("refresh", "--input", s"$dir/delta_empty", "--state", s"$dir/state"))
+    assert(aliasMap(2) == full)
+    val left = new java.io.File(s"$dir/state").listFiles().map(_.getName)
+      .filter(_.startsWith("v")).toSet
+    assert(left == Set("v1", "v2"))
+  }
+
   test("usage errors are loud: unknown subcommand, missing required option, unknown option") {
     intercept[IllegalArgumentException] {
       Submit.run(spark, Array("frobnicate"))
