@@ -127,26 +127,20 @@ object Ann {
       .collect()
       .map(_.getSeq[Double](0).toArray)
 
-  /** Literal array-of-arrays of the centroid unit vectors. */
-  private def centroidLits(cents: Array[Array[Double]]): Column =
-    array(cents.map(c => array(c.map(lit): _*)): _*)
-
-  /** Per-row struct list (cos-to-centroid, centroid id) — the shared core
-    * of assignment (argmax) and probing (top-nProbe). */
-  private def centroidScores(nvCol: Column, cents: Array[Array[Double]]): Column =
-    zip_with(centroidLits(cents), sequence(lit(0), lit(cents.length - 1)),
-      (cv, ci) => struct(dotCols(nvCol, cv).as("cos"), ci.as("cid")))
+  /** Per-row cosines against every centroid (index = centroid id), as ONE
+    * codegen'd expression node — see [[CentroidCos]] for why this is a
+    * native expression and not a zip_with over literal arrays.
+    */
+  private def centroidCosCol(nvCol: Column, cents: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      CentroidCos(org.apache.spark.sql.graft.Bridge.expression(nvCol), cents))
 
   /** Nearest-centroid id as ONE codegen'd map expression — no join, no
-    * shuffle: `array_max` over (cos, -cid) structs orders by cos then by
-    * LOWER cid on ties (lexicographic struct max on the negated id).
+    * shuffle; ties → lower cid (see [[CentroidArgmax]]).
     */
-  private[similarity] def ivfAssignCol(nvCol: Column, cents: Array[Array[Double]]): Column = {
-    val best = array_max(zip_with(centroidLits(cents),
-      sequence(lit(0), lit(cents.length - 1)),
-      (cv, ci) => struct(dotCols(nvCol, cv).as("cos"), (-ci).as("nci"))))
-    (-best.getField("nci")).cast("int")
-  }
+  private[similarity] def ivfAssignCol(nvCol: Column, cents: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      CentroidArgmax(org.apache.spark.sql.graft.Bridge.expression(nvCol), cents))
 
   /** IVF-flat approximate top-k: the second scale path next to SRP-LSH.
     *
@@ -169,12 +163,12 @@ object Ann {
     val corpus = u.withColumn("cid", ivfAssignCol(col("nv"), cents))
     val probes = u.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("nv").as("qnv"),
-        explode(centroidScores(col("nv"), cents)).as("cs"))
+        posexplode(centroidCosCol(col("nv"), cents)).as(Seq("cid", "ccos")))
       .withColumn("prn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-          .orderBy(col("cs.cos").desc, col("cs.cid"))))
+          .orderBy(col("ccos").desc, col("cid"))))
       .filter(col("prn") <= nProbe)
-      .select(col("query_id"), col("qnv"), col("cs.cid").as("cid"))
+      .select(col("query_id"), col("qnv"), col("cid"))
     corpus.join(broadcast(probes), "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dotCols(col("qnv"), col("nv")))

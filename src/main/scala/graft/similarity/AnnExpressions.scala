@@ -1,0 +1,95 @@
+package graft.similarity
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Static eval targets for the IVF centroid expressions — shared by the
+  * interpreted and codegen paths (the K×Dim centroid matrix rides in as a
+  * codegen reference object, materialized once per plan, not per row).
+  *
+  * The arithmetic is pinned to the column-function form it replaced
+  * (`aggregate(zip_with(nv, cv, (x,y) -> x*y), 0d, (s,x) -> s+x)`): a
+  * sequential index-order fold per centroid, so results are bit-identical
+  * to the prior plan and to the DuckDB oracle's `list_inner_product`.
+  */
+object AnnOps {
+  /** Cosines of a unit vector against every baked unit centroid;
+    * index = centroid id.
+    */
+  def centroidCos(nv: ArrayData, cents: Array[Array[Double]]): ArrayData = {
+    val out = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var s = 0.0
+      var i = 0
+      while (i < cv.length) { s += nv.getDouble(i) * cv(i); i += 1 }
+      out(c) = s
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Nearest-centroid id: argmax cosine, ties → LOWER cid (strict `>` keeps
+    * the first maximum — same verdict as the struct-max-on-(cos, −cid) form
+    * it replaced).
+    */
+  def centroidArgmax(nv: ArrayData, cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var s = 0.0
+      var i = 0
+      while (i < cv.length) { s += nv.getDouble(i) * cv(i); i += 1 }
+      if (s > bestCos) { bestCos = s; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
+/** `centroid_cos(nv) → array<double>` of cosines against the K baked unit
+  * centroids (index = centroid id).
+  *
+  * Exists for performance, not convenience: the column-function form bakes
+  * the K×Dim centroid matrix into the plan as K CreateArray nodes of Dim
+  * literals each, wrapped in zip_with/aggregate lambdas — a ~2,000-node
+  * tree that (a) every Catalyst analyzer/optimizer rule re-traverses on
+  * every invocation and (b) evaluates interpreted, because higher-order
+  * functions are CodegenFallback. One expression node carrying the matrix
+  * as a codegen reference object keeps the stage in whole-stage codegen and
+  * the plan tree flat (q_ann_ivf: 9.4 s → see BENCH/r5_ann_ivf_expr.json).
+  */
+case class CentroidCos(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    AnnOps.centroidCos(v.asInstanceOf[ArrayData], cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.similarity.AnnOps.centroidCos($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CentroidCos =
+    copy(child = newChild)
+}
+
+/** `centroid_argmax(nv) → int` — nearest-centroid id (ties → lower cid).
+  * Same rationale as [[CentroidCos]]; this is the corpus-side assignment,
+  * evaluated once per corpus row, so it is the hot path of the IVF build.
+  */
+case class CentroidArgmax(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    AnnOps.centroidArgmax(v.asInstanceOf[ArrayData], cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.similarity.AnnOps.centroidArgmax($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CentroidArgmax =
+    copy(child = newChild)
+}
