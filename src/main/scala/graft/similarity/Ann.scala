@@ -19,8 +19,9 @@ import graft.dedup.Dedup.cosineExpr
   * keeps precision exact, so LSH output ⊆ brute output always.
   *
   * Hyperplane components are ±1 derived from md5 parity computed once on the
-  * driver and baked into the plan as array literals — the per-row work is a
-  * codegen'd zip_with/aggregate dot product, no per-element hashing.
+  * driver and carried into the plan as a codegen reference object — the
+  * per-row work is a native codegen'd dot-product loop ([[SrpKeys]]), no
+  * per-element hashing and no literal-array expression tree.
   */
 object Ann {
 
@@ -43,21 +44,20 @@ object Ann {
     }
   }
 
-  /** Codegen'd dot product of an array column against a literal ±1 plane. */
-  private def planeDot(vecCol: String, signs: Array[Double]): Column = {
-    val planeLit = signs.map(s => if (s > 0) "1d" else "-1d").mkString("array(", ",", ")")
-    expr(s"aggregate(zip_with($vecCol, $planeLit, (x, p) -> x * p), 0d, (s, x) -> s + x)")
+  /** All B band keys as ONE codegen'd expression node — the ±1 plane matrix
+    * rides in as a codegen reference object (see [[SrpKeys]] for why this is
+    * a native expression and not B×P zip_with dots over literal arrays).
+    */
+  private[similarity] def srpKeysCol(vecCol: Column, bands: Int, nPlanes: Int,
+                                     dim: Int): Column = {
+    val planes = Array.tabulate(bands, nPlanes)((b, p) => planeSigns(b, p, dim))
+    org.apache.spark.sql.graft.Bridge.column(
+      SrpKeys(org.apache.spark.sql.graft.Bridge.expression(vecCol), planes))
   }
-
-  /** SRP bucket key for one band: P sign bits concatenated. */
-  private[similarity] def bucketKey(vecCol: String, band: Int, nPlanes: Int, dim: Int): Column =
-    concat((0 until nPlanes).map { p =>
-      when(planeDot(vecCol, planeSigns(band, p, dim)) > 0, lit("1")).otherwise(lit("0"))
-    }: _*)
 
   /** Single-band SRP bucketing (kept as the simple API; band 0). */
   def srpBuckets(emb: DataFrame, nPlanes: Int = 8, dim: Int = Dim): DataFrame =
-    emb.withColumn("bucket", bucketKey("v", 0, nPlanes, dim))
+    emb.withColumn("bucket", srpKeysCol(col("v"), 1, nPlanes, dim).getItem(0))
 
   /** Per-vector L2 norm + precomputed unit vector — computed once, before
     * any pair join, so pair verification is a single dot product (the
@@ -79,11 +79,8 @@ object Ann {
     */
   def bandedCandidates(emb: DataFrame, bands: Int = 4, nPlanes: Int = 8,
                        dim: Int = Dim): DataFrame = {
-    val keys = emb.select(col("vec_id"), explode(array(
-      (0 until bands).map(b =>
-        struct(lit(b).as("band"), bucketKey("v", b, nPlanes, dim).as("key"))): _*
-    )).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val keys = emb.select(col("vec_id"),
+        posexplode(srpKeysCol(col("v"), bands, nPlanes, dim)).as(Seq("band", "key")))
     keys.as("x").join(keys.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.vec_id") < col("y.vec_id"))

@@ -32,6 +32,31 @@ object AnnOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Per-band SRP sign-bit keys of a raw vector (index = band id); the dot
+    * against each ±1 plane is the same sequential index-order fold as the
+    * `aggregate(zip_with(v, plane, x*p))` form it replaced.
+    */
+  def srpKeys(v: ArrayData, planes: Array[Array[Array[Double]]]): ArrayData = {
+    val out = new Array[Any](planes.length)
+    var b = 0
+    while (b < planes.length) {
+      val band = planes(b)
+      val bits = new Array[Char](band.length)
+      var p = 0
+      while (p < band.length) {
+        val plane = band(p)
+        var s = 0.0
+        var i = 0
+        while (i < plane.length) { s += v.getDouble(i) * plane(i); i += 1 }
+        bits(p) = if (s > 0) '1' else '0'
+        p += 1
+      }
+      out(b) = org.apache.spark.unsafe.types.UTF8String.fromString(new String(bits))
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Nearest-centroid id: argmax cosine, ties → LOWER cid (strict `>` keeps
     * the first maximum — same verdict as the struct-max-on-(cos, −cid) form
     * it replaced).
@@ -50,6 +75,27 @@ object AnnOps {
     }
     best
   }
+}
+
+/** `srp_keys(v) → array<string>`: the SRP-LSH bucket key of every band in
+  * one pass — element b is the P-char sign-bit string of band b's
+  * hyperplanes ('1' iff the plane dot product is > 0, matching the
+  * `when(dot > 0, "1")` column form it replaced). Same rationale as
+  * [[CentroidCos]]: the column form was B×P interpreted HOF dot products
+  * over B×P×Dim literal nodes per row.
+  */
+case class SrpKeys(child: Expression, planes: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    AnnOps.srpKeys(v.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.similarity.AnnOps.srpKeys($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SrpKeys =
+    copy(child = newChild)
 }
 
 /** `centroid_cos(nv) → array<double>` of cosines against the K baked unit
