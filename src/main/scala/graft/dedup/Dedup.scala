@@ -195,10 +195,12 @@ object Dedup {
   /** Cosine similarity between two double-array columns as a codegen'd
     * higher-order-function expression (no UDF): Σxy / √(Σx²·Σy²).
     */
-  def cosineExpr(a: String, b: String): org.apache.spark.sql.Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0d, (s, x) -> s + x)") /
-      sqrt(expr(s"aggregate($a, 0d, (s, x) -> s + x * x)") *
-        expr(s"aggregate($b, 0d, (s, x) -> s + x * x)"))
+  def cosineExpr(a: String, b: String): org.apache.spark.sql.Column = {
+    // native DotD loops (dot(a,a) is the same index-order x*x fold the
+    // aggregate form computed); divide/sqrt stay builtin codegen'd ops
+    def dot(x: String, y: String) = graft.similarity.Ann.unitDot(x, y)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
 
   /** Embedding-cosine near-dup pairs (cos ≥ 0.99) — brute all-pairs. Kept
     * as the recall oracle for the LSH path (AnnSpec asserts LSH ⊆ brute and

@@ -62,15 +62,21 @@ object Ann {
   /** Per-vector L2 norm + precomputed unit vector — computed once, before
     * any pair join, so pair verification is a single dot product (the
     * brute/cartesian path used to re-aggregate both norms per pair).
+    * `nv` is the native [[UnitVec]] expression (one codegen'd loop; the
+    * HOF form dominated the million-vector index build — BENCH/
+    * ann_scale.json); `nrm` is kept for API compatibility and pruned by
+    * Catalyst when unselected.
     */
   def withUnit(emb: DataFrame): DataFrame =
     emb
       .withColumn("nrm", sqrt(expr("aggregate(v, 0d, (s, x) -> s + x * x)")))
-      .withColumn("nv", expr("transform(v, x -> x / nrm)"))
+      .withColumn("nv", org.apache.spark.sql.graft.Bridge.column(
+        UnitVec(org.apache.spark.sql.graft.Bridge.expression(col("v")))))
 
-  /** Dot product of two precomputed unit-vector columns (= cosine). */
-  def unitDot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0d, (s, x) -> s + x)")
+  /** Dot product of two precomputed unit-vector columns (= cosine) — the
+    * native [[DotD]] expression (per-candidate verification hot path).
+    */
+  def unitDot(a: String, b: String): Column = dotCols(col(a), col(b))
 
   /** Candidate pairs from B bands of P planes: one scan computes every
     * band key, an explode emits B (band, key) rows per vector, and a banded
@@ -103,9 +109,11 @@ object Ann {
       .select(col("a"), col("b"))
   }
 
-  /** Column-API dot product (same fold the expr-string helpers build). */
+  /** Column-API dot product — the native [[DotD]] expression. */
   private def dotCols(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, x) => s + x)
+    org.apache.spark.sql.graft.Bridge.column(DotD(
+      org.apache.spark.sql.graft.Bridge.expression(a),
+      org.apache.spark.sql.graft.Bridge.expression(b)))
 
   /** IVF-flat centroids: the `nCentroids` corpus vectors with the smallest
     * `md5(vec_id)` (a deterministic hash-ordered pseudo-random sample),
@@ -135,7 +143,7 @@ object Ann {
   /** Nearest-centroid id as ONE codegen'd map expression — no join, no
     * shuffle; ties → lower cid (see [[CentroidArgmax]]).
     */
-  private[similarity] def ivfAssignCol(nvCol: Column, cents: Array[Array[Double]]): Column =
+  private[graft] def ivfAssignCol(nvCol: Column, cents: Array[Array[Double]]): Column =
     org.apache.spark.sql.graft.Bridge.column(
       CentroidArgmax(org.apache.spark.sql.graft.Bridge.expression(nvCol), cents))
 

@@ -32,6 +32,36 @@ object AnnOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Unit vector: x / sqrt(Σx²), both folds in index order — the same
+    * arithmetic as the `transform(v, x / sqrt(aggregate(v, 0d, s+x*x)))`
+    * form it replaced. A zero vector divides by zero into ±Infinity/NaN
+    * exactly as the column form did.
+    */
+  def unitVec(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); s += x * x; i += 1 }
+    val nrm = math.sqrt(s)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = v.getDouble(i) / nrm; i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Boxed dot product, index-order fold; null on length mismatch — the
+    * verdict the zip_with form produced (its null padding turned a
+    * mismatched tail into a null sum).
+    */
+  def dotBoxed(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    java.lang.Double.valueOf(s)
+  }
+
   /** Per-band SRP sign-bit keys of a raw vector (index = band id); the dot
     * against each ±1 plane is the same sequential index-order fold as the
     * `aggregate(zip_with(v, plane, x*p))` form it replaced.
@@ -96,6 +126,45 @@ case class SrpKeys(child: Expression, planes: Array[Array[Array[Double]]])
   }
   override protected def withNewChildInternal(newChild: Expression): SrpKeys =
     copy(child = newChild)
+}
+
+/** `unit_vec(v) → array<double>` — the embedding normalized to unit L2.
+  * Exists for performance: the `transform`/`aggregate` column form is
+  * CodegenFallback and evaluates per row with boxed elements; at the
+  * million-vector dimension the normalization pass dominated the IVF
+  * index build (AnnScaleBench, BENCH/ann_scale.json). Same arithmetic,
+  * one codegen'd loop.
+  */
+case class UnitVec(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    AnnOps.unitVec(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.similarity.AnnOps.unitVec($c)")
+  override protected def withNewChildInternal(newChild: Expression): UnitVec =
+    copy(child = newChild)
+}
+
+/** `dot_d(a, b) → double` — index-order-fold dot product of two double
+  * arrays; null when the lengths differ (the zip_with form's verdict for a
+  * mismatched pair). The per-candidate verification dot of every LSH/IVF
+  * path — the same CodegenFallback rationale as [[UnitVec]].
+  */
+case class DotD(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  // null is also the length-mismatch verdict, produced for non-null inputs
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    AnnOps.dotBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.similarity.AnnOps.dotBoxed($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotD = copy(left = newLeft, right = newRight)
 }
 
 /** `centroid_cos(nv) → array<double>` of cosines against the K baked unit
