@@ -105,6 +105,41 @@ object AnnScaleBench {
       (s, hits.toDouble / (nQueries * 5))
     } else (-1.0, -1.0)
 
+    // LSH near-dup at the same dimension, production-parameterized: band
+    // width must grow with log N to keep buckets O(1)-sized (P=8 is the
+    // sandbox width; at 2M uniform vectors it would put ~8k rows in every
+    // bucket and the candidate set would be ~100× the corpus). P=20 keeps
+    // E[bucket] ≈ 2 while a planted near-identical pair (cos ≈ 0.99997)
+    // still collides in ≥1 of 4 bands with miss probability ~5×10⁻⁶.
+    // Corpus: xxhash64-derived uniform components (a sin(a·id + b·i) basis
+    // is a ONE-PARAMETER curve — ids with close phases are near-identical
+    // across every component, flooding the 0.99 threshold with spurious
+    // pairs; hash components are genuinely independent, so random pairs sit
+    // ~8σ below it) + a planted +0.01 first-component variant for every
+    // 10th id (Dedup.embCorpus's construction at scale).
+    val lshPlanes = sys.env.getOrElse("SPARK_GRAFT_ANN_LSH_PLANES", "20").toInt
+    val (lshSec, lshReps, lshPairs, lshRecall) =
+      if (sys.env.getOrElse("SPARK_GRAFT_ANN_LSH", "1") == "1") {
+        val stagedU = graft.util.TempDirs.scratch("graft-ann-scale") + "/embu"
+        val base = spark.range(n).select(col("id").as("vec_id"),
+          expr(s"transform(sequence(0, ${dim - 1}), i -> " +
+            "cast(xxhash64(id, i) % 1000 as double) / 1000.0d)").as("v"))
+        base.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + n).as("vec_id"),
+            expr("concat(array(element_at(v, 1) + 0.01d), slice(v, 2, size(v) - 1))").as("v"))
+          .unionByName(base)
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(stagedU)
+        def embU: DataFrame = spark.read.parquet(stagedU)
+        val (s, rs, found) = minOf(reps) {
+          Ann.lshPairs(embU, minCos = 0.99, bands = 4, nPlanes = lshPlanes)
+            .filter(col("b") === col("a") + n && col("a") % 10 === 0)
+            .count() // planted base→variant pairs found
+        }
+        val total = Ann.lshPairs(embU, minCos = 0.99, bands = 4, nPlanes = lshPlanes).count()
+        (s, rs, total, found.toDouble / (n / 10))
+      } else (-1.0, Seq.empty[Double], -1L, -1.0)
+
     def fmt(ts: Seq[Double]) = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     println(
       s"""{"metric":"ann_scale","n_vectors":$n,"dim":$dim,"n_clusters":$nClusters,""" +
@@ -113,7 +148,9 @@ object AnnScaleBench {
       s""""assign_mvec_per_sec":${f"${n / buildSec / 1e6}%.2f"},""" +
       s""""ivf_topk_sec":${f"$ivfSec%.3f"},"ivf_reps":${fmt(ivfReps)},"ivf_rows":$nIvf,""" +
       s""""brute_topk_sec":${f"$bruteSec%.3f"},"recall_at5":${f"$recall%.3f"},""" +
-      s""""cpus":$cpus}""")
+      s""""lsh_planes":$lshPlanes,"lsh_pairs_sec":${f"$lshSec%.3f"},""" +
+      s""""lsh_reps":${fmt(lshReps)},"lsh_pairs":$lshPairs,""" +
+      s""""lsh_planted_recall":${f"$lshRecall%.3f"},"cpus":$cpus}""")
     spark.stop()
   }
 }
