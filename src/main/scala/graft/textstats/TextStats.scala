@@ -30,38 +30,41 @@ object TextStats {
   /** Language-ID: count marker-token hits per language over the token
     * stream; winner = max hits, ties broken by language code, zero hits →
     * "unknown".
+    *
+    * ONE narrow map expression ([[LangBest]]) — logically this is a per-row
+    * argmax, and the explode + broadcast-join + per-doc aggregation +
+    * ranking-window + join-back form it replaced paid four wide stages for
+    * it (the explode alone multiplies the scan by the token count — the
+    * plan you cannot afford at 10¹² documents). Nulls keep the old
+    * verdict: no text → "unknown"/0.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val m = markers.toDF("mlang", "marker")
-    val toks = docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
-    val hits = toks.join(broadcast(m), toks("t") === m("marker"))
-      .groupBy(col("doc_id"), col("mlang")).agg(count(lit(1)).as("hits"))
-    val best = hits.withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-          .orderBy(col("hits").desc, col("mlang"))))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("mlang").as("pred_lang"), col("hits"))
-    docs.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+    val langs = markers.map(_._1).distinct.sorted.toArray
+    val tables = langs.map(l => markers.collect { case (`l`, m) => m }.toArray)
+    val best = org.apache.spark.sql.graft.Bridge.column(
+      LangBest(org.apache.spark.sql.graft.Bridge.expression(col("text")), langs, tables))
+    docs.select(col("doc_id"), best.as("b"))
       .select(col("doc_id"),
-        coalesce(col("pred_lang"), lit("unknown")).as("pred_lang"),
-        coalesce(col("hits"), lit(0L)).as("hits"))
+        when(coalesce(col("b.hits"), lit(0L)) > 0,
+          element_at(lit(langs), col("b.lang_idx") + 1))
+          .otherwise(lit("unknown")).as("pred_lang"),
+        coalesce(col("b.hits"), lit(0L)).as("hits"))
   }
 
   /** Quality features per doc: char length, token count, stopword count,
     * longest token — integer-valued so the oracle compare is exact.
     */
   def quality(docs: DataFrame): DataFrame = {
-    val stopArr = array(stopwords.map(lit(_)): _*)
+    val qs = org.apache.spark.sql.graft.Bridge.column(
+      QualityStats(org.apache.spark.sql.graft.Bridge.expression(col("text")),
+        stopwords.toArray))
     docs.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      size(expr(s"filter(split(lower(text), ' '), t -> array_contains(array(${stopwords.map("'" + _ + "'").mkString(",")}), t))"))
-        .cast("long").as("n_stop"),
-      expr("aggregate(split(text, ' '), 0, (m, t) -> greatest(m, length(t)))")
-        .cast("long").as("max_token_len"))
+      qs.as("q"))
+    .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+      col("q.n_stop").as("n_stop"), col("q.max_token_len").as("max_token_len"))
   }
 
   /** Token counts per source: whitespace tokens + regex word tokens
