@@ -185,7 +185,7 @@ object Dedup {
     */
   def embCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val variant = base.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"),
         expr("concat(array(element_at(v, 1) + 0.01d), slice(v, 2, size(v) - 1))").as("v"))

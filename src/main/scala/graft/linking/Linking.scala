@@ -61,7 +61,7 @@ object Linking {
     */
   def linkBest(mentions: DataFrame, spark: SparkSession, sfDir: String): DataFrame = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val nEmb = emb.count()
     val entities = aliasDict(spark)
       .select(col("label"), col("entity_id"), col("prior_milli"))
@@ -95,7 +95,7 @@ object Linking {
     */
   def link(mentions: DataFrame, spark: SparkSession, sfDir: String): DataFrame = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val nEmb = emb.count()
     val dict = aliasDict(spark)
       .withColumn("evec_id", pmod(col("entity_id"), lit(nEmb)))

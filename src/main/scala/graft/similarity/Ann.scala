@@ -30,7 +30,7 @@ object Ann {
 
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   /** Deterministic ±1 hyperplane: component i of plane (band, p) is +1 iff
     * the last hex digit of md5("band:p:i") is even. Driver-side; the result
