@@ -29,25 +29,23 @@ object Relations {
     val spark = mentions.sparkSession
     import spark.implicits._
     // Pure DataFrame formulation — one hash-agg shuffle of UnsafeRows plus
-    // codegen'd array HOFs. (A typed groupByKey/flatMapGroups version was
-    // measurably allocation-bound at 32 cores: every row deserialized to a
-    // Mention object; this shape stays inside whole-stage codegen.)
+    // ONE native pairing expression ([[CoocPairs]]). (A typed
+    // groupByKey/flatMapGroups version was measurably allocation-bound at
+    // 32 cores: every row deserialized to a Mention object. The prior
+    // explode(rules) + filter/transform/flatten HOF chain evaluated
+    // interpreted — higher-order functions are CodegenFallback — and
+    // tripled the post-aggregate rows before filtering.)
     val perSeg = mentions.toDF()
       .groupBy(col("url"), col("page"), col("seg_no"))
       .agg(collect_set(struct(col("label"), col("surface"))).as("ms"))
-    val ruleArr = array(rules.map { case (sl, p, ol) =>
-      struct(lit(sl).as("sl"), lit(p).as("pred"), lit(ol).as("ol"))
-    }: _*)
+    val ruleArr: Array[Array[String]] =
+      rules.map { case (sl, p, ol) => Array(sl, p, ol) }.toArray
+    val pairs = org.apache.spark.sql.graft.Bridge.column(
+      CoocPairs(org.apache.spark.sql.graft.Bridge.expression(col("ms")), ruleArr))
     perSeg
-      .select(col("url"), col("ms"), explode(ruleArr).as("r"))
-      .withColumn("subjs", expr(
-        "array_distinct(transform(filter(ms, x -> x.label = r.sl), x -> x.surface))"))
-      .withColumn("objs", expr(
-        "array_distinct(transform(filter(ms, x -> x.label = r.ol), x -> x.surface))"))
-      .select(col("url"), col("r.pred").as("pred"), explode(expr(
-        "flatten(transform(subjs, s -> transform(objs, o -> named_struct('s', s, 'o', o))))")).as("so"))
-      .select(col("so.s").as("subj"), col("pred"), col("so.o").as("obj"),
-        col("url"), lit(1.0).as("score"))
+      .select(col("url"), explode(pairs).as("t"))
+      .select(col("t.subj").as("subj"), col("t.pred").as("pred"),
+        col("t.obj").as("obj"), col("url"), lit(1.0).as("score"))
       .as[Triple]
   }
 
