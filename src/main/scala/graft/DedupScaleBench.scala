@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Corpus-scale evidence for the text-dedup map side (shingling + MinHash
+  * signatures) at the million-document dimension. Shingling is the map
+  * stage every text-dedup path pays on ALL input bytes — at 100 TB it runs
+  * before any pruning — so its per-row form matters more than any join
+  * below it. [[Dedup.shingles]] now emits shingles from one native pass
+  * ([[graft.dedup.WordShingles]]); this main measures it against the
+  * pre-round-5 HOF form (inlined verbatim as the baseline), distinct-shingle
+  * counts `require`d equal, plus the full xxhash64 MinHash signature build
+  * over the native form — per the repo's noise protocol (untimed warm-up,
+  * min of reps).
+  *
+  * Corpus: `SPARK_GRAFT_TS_N` docs (default 2M) × `SPARK_GRAFT_TS_TOKENS`
+  * tokens (default 40) drawn xxhash64-uniform from a 5k-word vocabulary
+  * (large enough that shingles are near-unique — worst case for the
+  * distinct), synthesized DISTRIBUTED and staged to parquet.
+  */
+object DedupScaleBench {
+
+  /** The pre-round-5 shingle plan, kept as the measured baseline. */
+  private def shinglesHof(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= Dedup.ShingleN)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${Dedup.ShingleN - 1}), i -> concat_ws(' ', slice(w, i, ${Dedup.ShingleN})))"
+      )).as("s"))
+      .distinct()
+
+  private def minOf(reps: Int)(f: => Long): (Double, Seq[Double], Long) = {
+    f // untimed warm-up
+    val ts = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    (ts.map(_._1).min, ts.map(_._1), ts.head._2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_TS_N", "2000000").toLong
+    val tokens = sys.env.getOrElse("SPARK_GRAFT_TS_TOKENS", "40").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_TS_REPS", "2").toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-dedup-scale-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val staged = graft.util.TempDirs.scratch("graft-dedup-scale") + "/docs"
+    spark.range(n).select(col("id").as("doc_id"),
+        expr(s"array_join(transform(sequence(0, ${tokens - 1}), i -> " +
+          s"concat('w', cast(pmod(xxhash64(id, i), 5000) as string))), ' ')")
+          .as("text"))
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(staged)
+    def docs: DataFrame = spark.read.parquet(staged)
+
+    val (natSec, natReps, natCount) = minOf(reps)(Dedup.shingles(docs).count())
+    val (hofSec, hofReps, hofCount) = minOf(reps)(shinglesHof(docs).count())
+    require(natCount == hofCount, s"shingle form drift: native=$natCount hof=$hofCount")
+
+    // full signature build over the native form, production hash family:
+    // the one-groupBy k-min aggregate; forced through a checksum of the
+    // signature columns so no aggregate can be pruned
+    val (sigSec, sigReps, _) = minOf(reps) {
+      val sig = Dedup.minhashSignature(Dedup.shingles(docs), "xxhash64")
+      val cols = (0 until graft.model.Config.MinHashK).map(i => col(s"h$i"))
+      sig.agg(sum(hash(cols: _*))).head.getLong(0)
+    }
+
+    def fmt(ts: Seq[Double]) = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    println(
+      s"""{"metric":"dedup_scale","n_docs":$n,"tokens_per_doc":$tokens,""" +
+      s""""n_distinct_shingles":$natCount,"counts_equal":true,""" +
+      s""""shingle_native_sec":${f"$natSec%.3f"},"shingle_native_reps":${fmt(natReps)},""" +
+      s""""shingle_native_mdocs_per_sec":${f"${n / natSec / 1e6}%.2f"},""" +
+      s""""shingle_hof_sec":${f"$hofSec%.3f"},"shingle_hof_reps":${fmt(hofReps)},""" +
+      s""""minhash_sig_sec":${f"$sigSec%.3f"},"minhash_sig_reps":${fmt(sigReps)},""" +
+      s""""cpus":$cpus}""")
+    spark.stop()
+  }
+}

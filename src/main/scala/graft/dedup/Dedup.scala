@@ -41,15 +41,16 @@ object Dedup {
     corpus.groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
 
-  /** Distinct word-5-gram shingles per doc. Whole-stage-codegen expression
-    * pipeline (split → transform/slice → explode), no UDF.
+  /** Distinct word-5-gram shingles per doc — ONE native pass per document
+    * ([[WordShingles]]; the prior split → transform/slice/concat_ws HOF
+    * form evaluated interpreted and allocated a token slice per shingle).
+    * Documents with fewer than [[ShingleN]] tokens emit an empty array,
+    * which explode drops.
     */
   def shingles(corpus: DataFrame): DataFrame =
     corpus
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= ShingleN)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(w) - ${ShingleN - 1}), i -> concat_ws(' ', slice(w, i, $ShingleN)))"
+      .select(col("doc_id"), explode(org.apache.spark.sql.graft.Bridge.column(
+        WordShingles(org.apache.spark.sql.graft.Bridge.expression(col("text")), ShingleN)
       )).as("s"))
       .distinct()
 

@@ -94,4 +94,35 @@ class DedupSpec extends SparkSpec {
       .map(_.getLong(0)).map(id => (id, id + 1000000L)).toSet
     assert(pairs == planted)
   }
+
+  test("native shingle expression matches the split/transform column form on adversarial strings") {
+    // WordShingles replaced the HOF form for performance; this pins the
+    // exact token semantics (each ' ' a separator: leading / adjacent /
+    // trailing spaces delimit EMPTY tokens) against the form it replaced,
+    // on strings the normalized corpus never produces.
+    import spark.implicits._
+    val rows = Seq(
+      "a b c d e f",        // plain
+      "a b c d e",          // exactly n tokens
+      "a b c d",            // below n → no shingles
+      "",                   // empty text
+      " a b c d e",         // leading space (empty token 0)
+      "a b  c d e f",       // adjacent spaces (empty token inside)
+      "a b c d e ",         // trailing space (empty trailing token)
+      "é ü ñ 漢 字 x y"      // multibyte chars around separators
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("doc_id", "text")
+    val native = Dedup.shingles(df).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val hof = df
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= Dedup.ShingleN)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${Dedup.ShingleN - 1}), i -> concat_ws(' ', slice(w, i, ${Dedup.ShingleN})))"
+      )).as("s"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(native == hof)
+    assert(native.exists(_._2 == "a b  c d"), "adjacent-space shingle must keep the empty token's separators")
+  }
 }
