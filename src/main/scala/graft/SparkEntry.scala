@@ -343,6 +343,8 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(Dedup.corpus(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Dedup.corpus(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Dedup.corpus(s, dir))),
+    // banded Hamming join; oracle is brute all-pairs (pigeonhole ⇒ identical)
+    "q_dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Dedup.corpus(s, dir))),
     "q_dedup_embed" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
 
     // --- similarity search ----------------------------------------------
@@ -520,6 +522,7 @@ object SparkEntry {
     "q_dedup_ngram" -> OracleOps.qDedupNgram,
     "q_dedup_minhash" -> OracleOps.qDedupMinhash,
     "q_dedup_simhash" -> OracleOps.qDedupSimhash,
+    "q_dedup_simhash_pairs" -> OracleOps.qDedupSimhashPairs,
     "q_dedup_embed" -> OracleOps.qDedupEmbed,
     "q_ann_topk" -> OracleOps.qAnnTopk,
     "q_ann_lsh" -> OracleOps.qDedupEmbed,

@@ -181,6 +181,41 @@ object Dedup {
         when(col(s"acc$b") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
   }
 
+  /** SimHash near-dup pairs at Hamming distance ≤ k (default 3) — the
+    * classic web-scale near-duplicate query over the fingerprints (Manku,
+    * Jain & Das Sarma, WWW'07: detecting near-duplicates for web crawling).
+    * The 64-bit fingerprint splits into k+1 contiguous bands; a pair at
+    * Hamming ≤ k differs in at most k bands, so by pigeonhole it agrees
+    * EXACTLY on at least one band — the banded equi self-join has total
+    * recall, and exact bit_count verification keeps precision exact, so the
+    * output is identical to brute all-pairs (which is what the DuckDB
+    * oracle computes). Candidates are bounded by band-bucket sizes (2¹⁶
+    * buckets per band at k=3), never all-pairs; at the 10¹²-doc dimension
+    * one widens the fingerprint (128-bit SimHash → 32-bit bands) rather
+    * than narrowing bands further — same plan shape, bigger key space.
+    */
+  def simhashPairs(corpus: DataFrame,
+                   maxHamming: Int = Config.SimHashMaxHamming): DataFrame = {
+    val nBands = maxHamming + 1
+    require(64 % nBands == 0, s"band count $nBands must divide 64")
+    val width = 64 / nBands
+    // pack the bit string into two longs once, pre-join, so verification is
+    // two codegen'd xor+bit_count ops per candidate instead of 64 char cmps
+    val packed = simhash(corpus).select(col("doc_id"),
+      conv(substring(col("simhash"), 1, 32), 2, 10).cast("long").as("x1"),
+      conv(substring(col("simhash"), 33, 32), 2, 10).cast("long").as("x2"),
+      posexplode(array((0 until nBands).map(b =>
+        substring(col("simhash"), b * width + 1, width)): _*)).as(Seq("band", "key")))
+    packed.as("x").join(packed.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        (expr("bit_count(x.x1 ^ y.x1)") + expr("bit_count(x.x2 ^ y.x2)"))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Embedding near-dup corpus: base vectors (as double) ∪ planted
     * near-identical variants (first component +0.01) for every 10th vector.
     */

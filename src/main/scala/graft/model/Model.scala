@@ -147,6 +147,12 @@ object Config {
     */
   val MaxShingleDf = 1000L
 
+  /** SimHash near-dup Hamming radius: pairs at distance ≤ k are near-dups.
+    * The banded join uses k+1 bands (pigeonhole exactness — Dedup
+    * .simhashPairs), so k+1 must divide 64. Mirrored in the oracle.
+    */
+  val SimHashMaxHamming = 3
+
   /** Stop-token cap for similarity blocking: tokens shared by more than
     * this many surfaces are dropped as BLOCKING keys (candidate generation
     * only — verification still scores full word arrays). Prevents the

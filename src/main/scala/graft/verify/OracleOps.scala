@@ -80,15 +80,32 @@ object OracleOps {
     WHERE CAST(s.inter AS DOUBLE) / (sa.n + sb.n - s.inter) >= ${Config.JaccardThreshold}"""
   }
 
-  val qDedupSimhash: String =
-    s"""WITH $corpusCtes,
+  /** Mirror of graft.dedup.Dedup.simhash: ends in a `sim(doc_id, simhash)`
+    * CTE (64-char bit string per doc).
+    */
+  val simhashCtes: String =
+    """
     toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus),
     th AS (SELECT doc_id, md5(t) AS h FROM toks),
     bits AS (SELECT doc_id, g.b,
                CASE WHEN SUM(2 * (((strpos('0123456789abcdef', substr(h, (g.b // 4) + 1, 1)) - 1)
                                    >> (3 - g.b % 4)) & 1) - 1) > 0 THEN '1' ELSE '0' END AS ob
-             FROM th, generate_series(0, 63) g(b) GROUP BY doc_id, g.b)
-    SELECT doc_id, string_agg(ob, '' ORDER BY b) AS simhash FROM bits GROUP BY doc_id"""
+             FROM th, generate_series(0, 63) g(b) GROUP BY doc_id, g.b),
+    sim AS (SELECT doc_id, string_agg(ob, '' ORDER BY b) AS simhash FROM bits GROUP BY doc_id)"""
+
+  val qDedupSimhash: String =
+    s"""WITH $corpusCtes, $simhashCtes
+    SELECT doc_id, simhash FROM sim"""
+
+  /** Brute-force Hamming ≤ k all-pairs — the exactness oracle for the
+    * banded join (pigeonhole makes banded ≡ brute, see Dedup.simhashPairs).
+    */
+  val qDedupSimhashPairs: String =
+    s"""WITH $corpusCtes, $simhashCtes
+    SELECT a.doc_id AS a, b.doc_id AS b,
+      CAST(bit_count(xor(CAST(a.simhash AS BIT), CAST(b.simhash AS BIT))) AS BIGINT) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(CAST(a.simhash AS BIT), CAST(b.simhash AS BIT))) <= ${Config.SimHashMaxHamming}"""
 
   val embCtes: String =
     """

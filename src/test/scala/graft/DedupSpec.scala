@@ -95,6 +95,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs == planted)
   }
 
+  test("banded simhash pairs equal brute all-pairs hamming (pigeonhole) and catch planted exact copies at 0") {
+    val banded = Dedup.simhashPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute twin computed independently of the band structure
+    val sims = Dedup.simhash(corpus).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (a, sa) <- sims; (b, sb) <- sims if a < b
+      h = sa.zip(sb).count { case (x, y) => x != y }.toLong
+      if h <= graft.model.Config.SimHashMaxHamming
+    } yield (a, b, h)).toSet
+    assert(banded == brute)
+    // every planted exact copy (doc_id % 7 == 0 → +2000000) pairs at hamming 0
+    val exactIds = corpus.filter(col("doc_id") < 1000000 && col("doc_id") % 7 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(exactIds.nonEmpty)
+    exactIds.foreach(id => assert(banded.contains((id, id + 2000000L, 0L))))
+  }
+
   test("native shingle expression matches the split/transform column form on adversarial strings") {
     // WordShingles replaced the HOF form for performance; this pins the
     // exact token semantics (each ' ' a separator: leading / adjacent /
