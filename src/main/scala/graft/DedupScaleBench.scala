@@ -66,6 +66,17 @@ object DedupScaleBench {
       .write.mode("overwrite").parquet(staged)
     def docs: DataFrame = spark.read.parquet(staged)
 
+    // simhash corpus: docs ∪ exact copies of every 1000th doc. Random
+    // 40-token docs sit at Hamming ~32 from each other, so the planted
+    // copies (Hamming 0) are the ONLY pairs within the radius — the banded
+    // join's output count is exactly checkable at scale.
+    val nPlanted = n / 1000
+    val simCorpus = docs.unionByName(
+      docs.filter(col("doc_id") % 1000 === 0)
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
+    val (simSec, simReps, simPairs) = minOf(reps)(Dedup.simhashPairs(simCorpus).count())
+    require(simPairs == nPlanted, s"simhash pairs drift: got $simPairs, planted $nPlanted")
+
     val (natSec, natReps, natCount) = minOf(reps)(Dedup.shingles(docs).count())
     val (hofSec, hofReps, hofCount) = minOf(reps)(shinglesHof(docs).count())
     require(natCount == hofCount, s"shingle form drift: native=$natCount hof=$hofCount")
@@ -87,6 +98,8 @@ object DedupScaleBench {
       s""""shingle_native_mdocs_per_sec":${f"${n / natSec / 1e6}%.2f"},""" +
       s""""shingle_hof_sec":${f"$hofSec%.3f"},"shingle_hof_reps":${fmt(hofReps)},""" +
       s""""minhash_sig_sec":${f"$sigSec%.3f"},"minhash_sig_reps":${fmt(sigReps)},""" +
+      s""""simhash_pairs_sec":${f"$simSec%.3f"},"simhash_pairs_reps":${fmt(simReps)},""" +
+      s""""simhash_planted_pairs":$nPlanted,"simhash_pairs_exact":true,""" +
       s""""cpus":$cpus}""")
     spark.stop()
   }
