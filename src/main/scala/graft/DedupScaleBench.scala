@@ -32,6 +32,50 @@ object DedupScaleBench {
       )).as("s"))
       .distinct()
 
+  /** The pre-round-5 SimHash pairing — minimal pigeonhole, k+1 contiguous
+    * bands of 16 bits — kept as the measured baseline for the (b−k)-block
+    * combination scheme that replaced it ([[Dedup.simhashPairs]]).
+    */
+  private def simhashCandidatesBanded(corpus: DataFrame, k: Int): DataFrame = {
+    val nBands = k + 1
+    val width = 64 / nBands
+    val packed = Dedup.simhash(corpus).select(col("doc_id"),
+      conv(substring(col("simhash"), 1, 32), 2, 10).cast("long").as("x1"),
+      conv(substring(col("simhash"), 33, 32), 2, 10).cast("long").as("x2"),
+      posexplode(array((0 until nBands).map(b =>
+        substring(col("simhash"), b * width + 1, width)): _*)).as(Seq("band", "key")))
+    packed.as("x").join(packed.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        (expr("bit_count(x.x1 ^ y.x1)") + expr("bit_count(x.x2 ^ y.x2)"))
+          .cast("long").as("hamming"))
+  }
+
+  private def simhashPairsBanded(corpus: DataFrame, k: Int): DataFrame =
+    simhashCandidatesBanded(corpus, k)
+      .filter(col("hamming") <= k)
+      .distinct()
+
+  /** The pre-round-5 SimHash fingerprint — explode tokens → distinct → md5
+    * → 64 sum aggregates — kept as the measured baseline for the native
+    * one-pass map expression that replaced it ([[graft.dedup.SimHash64]]).
+    */
+  private def simhashGroupBy(corpus: DataFrame): DataFrame = {
+    val toks = corpus
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .distinct()
+      .withColumn("h", md5(col("t")))
+    val bitAggs = (0 until 64).map { b =>
+      val bit = expr(
+        s"shiftright(cast(conv(substring(h, ${b / 4 + 1}, 1), 16, 10) as int), ${3 - b % 4}) & 1")
+      sum(bit * 2 - 1).as(s"acc$b")
+    }
+    toks.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), concat((0 until 64).map(b =>
+        when(col(s"acc$b") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
+  }
+
   private def minOf(reps: Int)(f: => Long): (Double, Seq[Double], Long) = {
     f // untimed warm-up
     val ts = (1 to reps).map { _ =>
@@ -74,8 +118,30 @@ object DedupScaleBench {
     val simCorpus = docs.unionByName(
       docs.filter(col("doc_id") % 1000 === 0)
         .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
+    // fingerprint stage isolated, native vs aggregate baseline — forced
+    // through a (doc_id, simhash) multiset checksum so the map expression
+    // can't be pruned, and the two forms are content-compared at full scale
+    def fpChecksum(fp: DataFrame): Long =
+      fp.agg(sum(hash(col("doc_id"), col("simhash")))).head.getLong(0)
+    val (fpSec, fpReps, fpSum) = minOf(reps)(fpChecksum(Dedup.simhash(simCorpus)))
+    val (fpGbSec, fpGbReps, fpGbSum) = minOf(reps)(fpChecksum(simhashGroupBy(simCorpus)))
+    require(fpSum == fpGbSum, s"fingerprint form drift: native=$fpSum groupBy=$fpGbSum")
+
     val (simSec, simReps, simPairs) = minOf(reps)(Dedup.simhashPairs(simCorpus).count())
     require(simPairs == nPlanted, s"simhash pairs drift: got $simPairs, planted $nPlanted")
+    val (bandSec, bandReps, bandPairs) =
+      minOf(reps)(simhashPairsBanded(simCorpus, graft.model.Config.SimHashMaxHamming).count())
+    require(bandPairs == nPlanted, s"banded baseline drift: got $bandPairs, planted $nPlanted")
+
+    // candidate volume BEFORE verification — the quadratically-growing term
+    // the block-count choice controls (banded 16-bit keys: ~nBands·n²/2¹⁷
+    // random collisions; 20 combination keys of ~32 bits: ~20·n²/2³³).
+    // Counted once each (no timing: the pair timings above already include
+    // probing them).
+    val comboCands = Dedup.simhashCandidates(simCorpus,
+      graft.model.Config.SimHashMaxHamming, graft.model.Config.SimHashBlocks).count()
+    val bandCands = simhashCandidatesBanded(simCorpus,
+      graft.model.Config.SimHashMaxHamming).count()
 
     val (natSec, natReps, natCount) = minOf(reps)(Dedup.shingles(docs).count())
     val (hofSec, hofReps, hofCount) = minOf(reps)(shinglesHof(docs).count())
@@ -98,7 +164,11 @@ object DedupScaleBench {
       s""""shingle_native_mdocs_per_sec":${f"${n / natSec / 1e6}%.2f"},""" +
       s""""shingle_hof_sec":${f"$hofSec%.3f"},"shingle_hof_reps":${fmt(hofReps)},""" +
       s""""minhash_sig_sec":${f"$sigSec%.3f"},"minhash_sig_reps":${fmt(sigReps)},""" +
+      s""""simhash_fp_sec":${f"$fpSec%.3f"},"simhash_fp_reps":${fmt(fpReps)},""" +
+      s""""simhash_fp_gb_sec":${f"$fpGbSec%.3f"},"simhash_fp_gb_reps":${fmt(fpGbReps)},""" +
       s""""simhash_pairs_sec":${f"$simSec%.3f"},"simhash_pairs_reps":${fmt(simReps)},""" +
+      s""""simhash_band_sec":${f"$bandSec%.3f"},"simhash_band_reps":${fmt(bandReps)},""" +
+      s""""simhash_combo_candidates":$comboCands,"simhash_band_candidates":$bandCands,""" +
       s""""simhash_planted_pairs":$nPlanted,"simhash_pairs_exact":true,""" +
       s""""cpus":$cpus}""")
     spark.stop()

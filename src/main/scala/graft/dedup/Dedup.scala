@@ -162,58 +162,91 @@ object Dedup {
     * = bit b of the first 16 hex chars of md5(token); document bit = sign of
     * Σ(±1). Emitted as a 64-char bit string (engine-portable; packs to a
     * long with bit ops at the storage layer).
+    *
+    * One native map expression ([[SimHash64]]) — the fingerprint is a
+    * document-local aggregate, so it never shuttles token rows through a
+    * shuffle. The previous aggregate form (explode → distinct → 64 sum
+    * aggregates) is kept in DedupScaleBench as the measured baseline: it
+    * shuffled every token row twice and ran 64 substring+conv string ops
+    * per token (BENCH/dedup_scale.json).
     */
-  def simhash(corpus: DataFrame): DataFrame = {
-    val toks = corpus
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .distinct()
-      .withColumn("h", md5(col("t")))
-    // 64 codegen'd ±1 sum aggregates in ONE groupBy — no 64× bit explode,
-    // no (doc, bit) shuffle (round 1 shuffled 64 rows per token); each sum
-    // is map-side combinable, so the shuffle is one 64-int row per doc.
-    val bitAggs = (0 until 64).map { b =>
-      val bit = expr(
-        s"shiftright(cast(conv(substring(h, ${b / 4 + 1}, 1), 16, 10) as int), ${3 - b % 4}) & 1")
-      sum(bit * 2 - 1).as(s"acc$b")
-    }
-    toks.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("doc_id"), concat((0 until 64).map(b =>
-        when(col(s"acc$b") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
-  }
+  def simhash(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), org.apache.spark.sql.graft.Bridge.column(
+      SimHash64(org.apache.spark.sql.graft.Bridge.expression(col("text"))))
+      .as("simhash"))
 
   /** SimHash near-dup pairs at Hamming distance ≤ k (default 3) — the
     * classic web-scale near-duplicate query over the fingerprints (Manku,
     * Jain & Das Sarma, WWW'07: detecting near-duplicates for web crawling).
-    * The 64-bit fingerprint splits into k+1 contiguous bands; a pair at
-    * Hamming ≤ k differs in at most k bands, so by pigeonhole it agrees
-    * EXACTLY on at least one band — the banded equi self-join has total
+    * The 64-bit fingerprint splits into b contiguous blocks; a pair at
+    * Hamming ≤ k differs in at most k blocks, so by pigeonhole it agrees
+    * EXACTLY on some (b−k)-block combination (WWW'07 §3's table scheme, as
+    * an equi self-join emitting one match key per combination) — total
     * recall, and exact bit_count verification keeps precision exact, so the
     * output is identical to brute all-pairs (which is what the DuckDB
-    * oracle computes). Candidates are bounded by band-bucket sizes (2¹⁶
-    * buckets per band at k=3), never all-pairs; at the 10¹²-doc dimension
-    * one widens the fingerprint (128-bit SimHash → 32-bit bands) rather
-    * than narrowing bands further — same plan shape, bigger key space.
+    * oracle computes). b tunes key width against key count: the minimal
+    * b = k+1 (one 16-bit band per key at k=3) probes nBands·n²/2¹⁷ random
+    * key collisions — measured 1.2×10⁸ candidates at 2M docs, already 10⁴×
+    * the true-pair count and growing quadratically; b = 6 spends
+    * C(6,3) = 20 keys of ~32 bits each, so random collisions stay
+    * ~20·n²/2³³ (measured ~10⁴ at 2M docs) and the join is output-bound
+    * through the 10⁸-doc regime (BENCH/dedup_scale.json carries both
+    * schemes' candidate counts and times; at 2M docs they tie on wall-clock
+    * — the 2¹⁷ key space still swallows the collisions at that n — so the
+    * committed default is chosen by the measured candidate growth, not the
+    * sandbox timing). Beyond 10⁸ docs, widen the fingerprint (128-bit
+    * SimHash) rather than adding combinations — same plan shape, bigger key
+    * space.
     */
   def simhashPairs(corpus: DataFrame,
-                   maxHamming: Int = Config.SimHashMaxHamming): DataFrame = {
-    val nBands = maxHamming + 1
-    require(64 % nBands == 0, s"band count $nBands must divide 64")
-    val width = 64 / nBands
+                   maxHamming: Int = Config.SimHashMaxHamming,
+                   nBlocks: Int = Config.SimHashBlocks): DataFrame =
+    simhashCandidates(corpus, maxHamming, nBlocks)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+
+  /** The candidate join feeding [[simhashPairs]] — every (b−k)-combination
+    * key collision with its exact Hamming distance, BEFORE the radius
+    * filter. Exposed so the scale bench can measure the candidate volume
+    * (the quadratically-growing term the block-count choice controls).
+    */
+  private[graft] def simhashCandidates(corpus: DataFrame,
+                                       maxHamming: Int,
+                                       nBlocks: Int): DataFrame = {
+    require(nBlocks > maxHamming && nBlocks <= 32,
+      s"need maxHamming < nBlocks <= 32, got k=$maxHamming b=$nBlocks")
+    // contiguous blocks, none spanning the x1/x2 packing boundary: each
+    // 32-bit half splits into ⌈b/2⌉ / ⌊b/2⌋ near-even widths
+    val nb1 = (nBlocks + 1) / 2
+    def widths(n: Int) = Seq.tabulate(n)(i => 32 / n + (if (i < 32 % n) 1 else 0))
+    val blocks: Seq[(String, Int, Int)] = // (packed half, right-shift, width)
+      for ((half, ws) <- Seq("x1" -> widths(nb1), "x2" -> widths(nBlocks - nb1));
+           (w, off) <- ws.zip(ws.scanLeft(0)(_ + _)))
+        yield (half, 32 - off - w, w)
+    // one match key per (b−k)-combination: literal shift/mask arithmetic
+    // concatenating the chosen blocks, all codegen'd
+    val keyCols = blocks.indices.combinations(nBlocks - maxHamming).toSeq.map {
+      idxs =>
+        idxs.foldLeft(lit(0L)) { (acc, i) =>
+          val (half, sh, w) = blocks(i)
+          shiftleft(acc, w).bitwiseOR(
+            shiftright(col(half), sh).bitwiseAND(lit((1L << w) - 1)))
+        }
+    }
     // pack the bit string into two longs once, pre-join, so verification is
     // two codegen'd xor+bit_count ops per candidate instead of 64 char cmps
-    val packed = simhash(corpus).select(col("doc_id"),
-      conv(substring(col("simhash"), 1, 32), 2, 10).cast("long").as("x1"),
-      conv(substring(col("simhash"), 33, 32), 2, 10).cast("long").as("x2"),
-      posexplode(array((0 until nBands).map(b =>
-        substring(col("simhash"), b * width + 1, width)): _*)).as(Seq("band", "key")))
+    val packed = simhash(corpus)
+      .select(col("doc_id"),
+        conv(substring(col("simhash"), 1, 32), 2, 10).cast("long").as("x1"),
+        conv(substring(col("simhash"), 33, 32), 2, 10).cast("long").as("x2"))
+      .select(col("doc_id"), col("x1"), col("x2"),
+        posexplode(array(keyCols: _*)).as(Seq("combo", "key")))
     packed.as("x").join(packed.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.combo") === col("y.combo") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         (expr("bit_count(x.x1 ^ y.x1)") + expr("bit_count(x.x2 ^ y.x2)"))
           .cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Embedding near-dup corpus: base vectors (as double) ∪ planted

@@ -6,12 +6,55 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Static eval target for [[WordShingles]] — shared by the interpreted and
-  * codegen paths.
+/** Static eval target for [[WordShingles]] / [[SimHash64]] — shared by the
+  * interpreted and codegen paths.
   */
 object DedupOps {
 
   private val Empty = new GenericArrayData(Array.empty[Any])
+
+  private val threadMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 64-bit SimHash of `text` as a 64-char bit string, in one pass: split on
+    * single spaces (keep-trailing semantics, as [[wordShingles]]), dedupe
+    * tokens, and for each DISTINCT token add ±1 per bit of the first 8 bytes
+    * of md5(token) — bit b of the fingerprint is 1 iff its sum is > 0.
+    * Bit b = bit (7 − b%8) of digest byte b/8, which is exactly the column
+    * form's `shiftright(conv(substring(hex, b/4+1, 1), 16, 10), 3 − b%4) & 1`
+    * read off the raw digest instead of its hex rendering.
+    */
+  def simhash64(text: UTF8String): UTF8String = {
+    val s = text.toString
+    val len = s.length
+    val seen = new java.util.HashSet[String]()
+    val sums = new Array[Int](64)
+    val md = threadMd5.get()
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        val tok = s.substring(start, i)
+        if (seen.add(tok)) {
+          md.reset()
+          val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var b = 0
+          while (b < 64) {
+            sums(b) += (((d(b >>> 3) >>> (7 - (b & 7))) & 1) << 1) - 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Char](64)
+    var b = 0
+    while (b < 64) { out(b) = if (sums(b) > 0) '1' else '0'; b += 1 }
+    UTF8String.fromString(new String(out))
+  }
 
   /** All word n-gram shingles of `text` in one pass, under
     * split-on-single-space token semantics (each ' ' is a separator;
@@ -69,5 +112,27 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.dedup.DedupOps.wordShingles($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** `simhash64(text) → 64-char bit string`: the whole SimHash fingerprint as
+  * one map-side pass over the document.
+  *
+  * Exists for performance, not convenience: the aggregate form (explode
+  * tokens → distinct → md5 → 64 sum aggregates) shuffles every token row
+  * through the distinct and evaluates 64 `substring+conv` string ops per
+  * token in the groupBy — ~5×10⁹ string ops and an 80M-row shuffle at 2M
+  * docs, which dominated the near-dup pair bench (BENCH/dedup_scale.json).
+  * One native node computes the fingerprint per document with zero shuffle:
+  * the distinct-token set is document-local by definition, so the aggregate
+  * never needed to leave the row.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(text: Any): Any =
+    DedupOps.simhash64(text.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.dedup.DedupOps.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }

@@ -148,10 +148,19 @@ object Config {
   val MaxShingleDf = 1000L
 
   /** SimHash near-dup Hamming radius: pairs at distance ≤ k are near-dups.
-    * The banded join uses k+1 bands (pigeonhole exactness — Dedup
-    * .simhashPairs), so k+1 must divide 64. Mirrored in the oracle.
-    */
+    * Mirrored in the oracle. */
   val SimHashMaxHamming = 3
+
+  /** SimHash candidate blocks b: the 64-bit fingerprint splits into b
+    * contiguous blocks, and candidates match exactly on some (b−k)-block
+    * combination (pigeonhole — Dedup.simhashPairs; Manku et al. WWW'07 §3).
+    * b tunes key width against key count: 6 spends C(6,3)=20 match keys of
+    * ~32 bits at k=3, keeping random key collisions ~n²/2³² per combination
+    * where the minimal b=k+1 (16-bit keys) collides at n²/2¹⁷ per band —
+    * measured at 2M docs: ~10⁴ candidates vs 1.2×10⁸
+    * (BENCH/dedup_scale.json), a 10⁴× gap that widens linearly with n.
+    */
+  val SimHashBlocks = 6
 
   /** Stop-token cap for similarity blocking: tokens shared by more than
     * this many surfaces are dropped as BLOCKING keys (candidate generation

@@ -144,4 +144,43 @@ class DedupSpec extends SparkSpec {
     assert(native == hof)
     assert(native.exists(_._2 == "a b  c d"), "adjacent-space shingle must keep the empty token's separators")
   }
+
+  test("native simhash fingerprint matches the explode/distinct/sum aggregate form on adversarial strings") {
+    // SimHash64 replaced the aggregate form for performance; this pins the
+    // md5-bit arithmetic (bit b = bit 3−b%4 of hex digit b/4) and the
+    // distinct-token set semantics (repeated tokens counted ONCE, empty
+    // tokens from leading/adjacent/trailing spaces participate) against the
+    // form it replaced.
+    import spark.implicits._
+    val rows = Seq(
+      "a b c d e f",        // plain
+      "a a a b",            // repeated token → counted once
+      "",                   // empty text → single empty token
+      " a b",               // leading space (empty token)
+      "a  b",               // adjacent spaces (empty token inside)
+      "a b ",               // trailing space (empty trailing token)
+      "é ü ñ 漢 字",         // multibyte tokens
+      "x"                   // single token: every bit from md5("x")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("doc_id", "text")
+    val native = Dedup.simhash(df).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val toks = df
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .distinct()
+      .withColumn("h", md5(col("t")))
+    val bitAggs = (0 until 64).map { b =>
+      val bit = expr(
+        s"shiftright(cast(conv(substring(h, ${b / 4 + 1}, 1), 16, 10) as int), ${3 - b % 4}) & 1")
+      sum(bit * 2 - 1).as(s"acc$b")
+    }
+    val agg = toks.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), concat((0 until 64).map(b =>
+        when(col(s"acc$b") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(native == agg)
+    val ab = Dedup.simhash(Seq((9L, "a b")).toDF("doc_id", "text")).head.getString(1)
+    assert(ab == native(1L),
+      "'a a a b' must fingerprint identically to 'a b' (distinct-token semantics)")
+  }
 }
