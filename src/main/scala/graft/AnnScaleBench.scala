@@ -31,17 +31,7 @@ import graft.similarity.Ann
   */
 object AnnScaleBench {
 
-  private def timed(f: => Long): (Double, Long) = {
-    val t0 = System.nanoTime()
-    val n = f
-    ((System.nanoTime() - t0) / 1e9, n)
-  }
-
-  private def minOf(reps: Int)(f: => Long): (Double, Seq[Double], Long) = {
-    f // untimed warm-up
-    val ts = (1 to reps).map(_ => timed(f))
-    (ts.map(_._1).min, ts.map(_._1), ts.head._2)
-  }
+  import graft.util.BenchProto.minOf
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_ANN_N", "2000000").toLong
@@ -137,7 +127,7 @@ object AnnScaleBench {
             .count() // planted base→variant pairs found
         }
         val total = Ann.lshPairs(embU, minCos = 0.99, bands = 4, nPlanes = lshPlanes).count()
-        (s, rs, total, found.toDouble / (n / 10))
+        (s, rs, total, found.toDouble / ((n + 9) / 10)) // planted = ceil(n/10)
       } else (-1.0, Seq.empty[Double], -1L, -1.0)
 
     def fmt(ts: Seq[Double]) = ts.map(t => f"$t%.3f").mkString("[", ",", "]")

@@ -75,13 +75,8 @@ object CanonIncrBench {
     val nSurfaces = all.count()
 
     def timeJob(run: () => (Long, Long)): (Double, (Long, Long)) = {
-      var fp = run() // untimed warm-up
-      val ts = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        fp = run()
-        (System.nanoTime() - t0) / 1e9
-      }
-      (ts.min, fp)
+      val (min, _, fp) = graft.util.BenchProto.minOf(reps)(run())
+      (min, fp)
     }
 
     val (fullSec, fullFp) = timeJob { () =>

@@ -39,14 +39,8 @@ object CoocBench {
     val nMentions = ms.count() // untimed: materializes the cache
 
     def timeIt(body: => (Long, Long)): (Seq[Double], Long) = {
-      body // untimed warm-up
-      var n = 0L
-      val ts = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        n = body._1
-        (System.nanoTime() - t0) / 1e9
-      }
-      (ts, n)
+      val (_, ts, last) = graft.util.BenchProto.minOf(reps)(body)
+      (ts, last._1)
     }
 
     val (coocTs, nCooc) = timeIt(Pipeline.tripleChecksum(Relations.cooccurrence(ms).toDF()))

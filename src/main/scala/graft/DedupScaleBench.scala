@@ -76,15 +76,7 @@ object DedupScaleBench {
         when(col(s"acc$b") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
   }
 
-  private def minOf(reps: Int)(f: => Long): (Double, Seq[Double], Long) = {
-    f // untimed warm-up
-    val ts = (1 to reps).map { _ =>
-      val t0 = System.nanoTime()
-      val r = f
-      ((System.nanoTime() - t0) / 1e9, r)
-    }
-    (ts.map(_._1).min, ts.map(_._1), ts.head._2)
-  }
+  import graft.util.BenchProto.minOf
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_TS_N", "2000000").toLong
@@ -114,7 +106,7 @@ object DedupScaleBench {
     // 40-token docs sit at Hamming ~32 from each other, so the planted
     // copies (Hamming 0) are the ONLY pairs within the radius — the banded
     // join's output count is exactly checkable at scale.
-    val nPlanted = n / 1000
+    val nPlanted = (n + 999) / 1000 // ids 0..n−1 with id % 1000 == 0 → ceil
     val simCorpus = docs.unionByName(
       docs.filter(col("doc_id") % 1000 === 0)
         .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))

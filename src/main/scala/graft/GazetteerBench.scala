@@ -42,14 +42,9 @@ object GazetteerBench {
     val buildSec = (System.nanoTime() - tB) / 1e9
 
     def timeScan(gaz: Array[(String, String)]): (Double, Long) = {
-      var hits = 0L
-      hits = Mentions.scan(segs, gaz).toDF().count() // untimed warm-up
-      val ts = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        hits = Mentions.scan(segs, gaz).toDF().count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      (ts.min, hits)
+      val (min, _, hits) =
+        graft.util.BenchProto.minOf(reps)(Mentions.scan(segs, gaz).toDF().count())
+      (min, hits)
     }
     val (t51, hits51) = timeScan(Gazetteer.all.toArray)
     val (t100k, hits100k) = timeScan(dim100k)
@@ -62,13 +57,9 @@ object GazetteerBench {
     // Synthetic surfaces never hit the corpus, so both runs must produce
     // the IDENTICAL triple multiset — `require`d via content fingerprint.
     def timeFlagship(gaz: Array[(String, String)]): (Double, (Long, Long)) = {
-      var fp = graft.pipeline.Pipeline.flagshipChecksum(spark, sfDir, amplify, gaz) // untimed warm-up
-      val ts = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        fp = graft.pipeline.Pipeline.flagshipChecksum(spark, sfDir, amplify, gaz)
-        (System.nanoTime() - t0) / 1e9
-      }
-      (ts.min, fp)
+      val (min, _, fp) = graft.util.BenchProto.minOf(reps)(
+        graft.pipeline.Pipeline.flagshipChecksum(spark, sfDir, amplify, gaz))
+      (min, fp)
     }
     val (f51, fp51) = timeFlagship(Gazetteer.all.toArray)
     val (f100k, fp100k) = timeFlagship(dim100k)

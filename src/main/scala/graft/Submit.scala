@@ -214,10 +214,16 @@ object Submit {
     * `compact --canon` consumption. */
   private def runRefresh(spark: SparkSession, opts: Map[String, String]): Unit = {
     import graft.util.SinkFs
+    import spark.implicits._
     val state = req(opts, "state")
-    val ms = Mentions.scanWithRecall(
-      Extract.segments(Pages.fromParquet(spark, req(opts, "input"))),
-      gazetteerOf(spark, opts))
+    // Cut the delta mention scan once: the full/fallback branches take
+    // several actions over plans rooted here (stats write, alias write, CC
+    // checkpoints) — without the cut each re-runs the recall scan.
+    val ms = org.apache.spark.sql.GraftSqlShims.localCheckpointFreshLazy(
+      Mentions.scanWithRecall(
+        Extract.segments(Pages.fromParquet(spark, req(opts, "input"))),
+        gazetteerOf(spark, opts)).toDF)
+      .as[graft.model.Mention]
     def done(v: Int): Boolean = SinkFs.exists(spark, s"$state/v$v/_DONE")
     val versions = SinkFs.listPrefixed(spark, state, "v")
       .flatMap(n => scala.util.Try(n.stripPrefix("v").toInt).toOption)

@@ -33,12 +33,7 @@ object TargetBench {
     val results = names.map { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         throw new IllegalArgumentException(s"unknown query: $name"))
-      fn(spark, sfDir).count() // untimed warm-up
-      val ts = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
+      val (_, ts, _) = graft.util.BenchProto.minOf(reps)(fn(spark, sfDir).count())
       name -> ts
     }
     val body = results.map { case (n, ts) =>

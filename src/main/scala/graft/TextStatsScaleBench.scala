@@ -42,20 +42,14 @@ object TextStatsScaleBench {
         coalesce(col("hits"), lit(0L)).as("hits"))
   }
 
-  // force full evaluation (a bare count() would let Catalyst prune the
-  // computed columns away)
+  // force full evaluation AND pin per-document content: a multiset checksum
+  // over (doc_id, pred_lang, hits) catches any per-doc winner/tie divergence
+  // between the two forms, not just a matching global hit total
   private def force(df: DataFrame): Long =
-    df.agg(sum(col("hits")), max(col("pred_lang"))).head.getLong(0)
+    df.agg(sum(hash(col("doc_id"), col("pred_lang"), col("hits"))))
+      .head.getLong(0)
 
-  private def minOf(reps: Int)(f: => Long): (Double, Seq[Double], Long) = {
-    f // untimed warm-up
-    val ts = (1 to reps).map { _ =>
-      val t0 = System.nanoTime()
-      val r = f
-      ((System.nanoTime() - t0) / 1e9, r)
-    }
-    (ts.map(_._1).min, ts.map(_._1), ts.head._2)
-  }
+  import graft.util.BenchProto.minOf
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_TS_N", "2000000").toLong
@@ -86,7 +80,8 @@ object TextStatsScaleBench {
 
     val (mapSec, mapReps, mapSum) = minOf(reps)(force(TextStats.langId(docs)))
     val (shufSec, shufReps, shufSum) = minOf(reps)(force(langIdShuffle(docs)))
-    require(mapSum == shufSum, s"langId form drift: map=$mapSum shuffle=$shufSum")
+    require(mapSum == shufSum,
+      s"langId per-doc content drift: map=$mapSum shuffle=$shufSum")
 
     val (qSec, qReps, _) = minOf(reps) {
       TextStats.quality(docs)
@@ -100,7 +95,7 @@ object TextStatsScaleBench {
       s""""langid_map_sec":${f"$mapSec%.3f"},"langid_map_reps":${fmt(mapReps)},""" +
       s""""langid_map_mdocs_per_sec":${f"${n / mapSec / 1e6}%.2f"},""" +
       s""""langid_shuffle_sec":${f"$shufSec%.3f"},"langid_shuffle_reps":${fmt(shufReps)},""" +
-      s""""marker_hits_equal":true,""" +
+      s""""langid_content_equal":true,""" + // the require above compared per-doc checksums
       s""""quality_sec":${f"$qSec%.3f"},"quality_reps":${fmt(qReps)},""" +
       s""""cpus":$cpus}""")
     spark.stop()

@@ -466,12 +466,18 @@ object Canon {
     */
   final case class CanonState(stats: DataFrame, canonMap: DataFrame)
 
-  /** Refresh outcome: the new carried state, whether the exactness guard
-    * forced a full recompute, and how many distributed CC rounds ran.
+  /** Refresh outcome: the new carried state and whether the exactness
+    * guard forced a full recompute.
     */
   final case class CanonRefresh(state: CanonState, fellBack: Boolean)
 
-  /** Full canon job, returning the carry-forward [[CanonState]]. */
+  /** Full canon job, returning the carry-forward [[CanonState]]. Runs from
+    * whatever `mentions` plan the caller hands in — callers that take
+    * multiple actions over the result (e.g. `Submit refresh` writing both
+    * state tables) should cut the mention scan first
+    * (`GraftSqlShims.localCheckpointFreshLazy`), as
+    * [[canonicalMapIncremental]] does on `merged`.
+    */
   def canonicalState(mentions: Dataset[Mention],
       maxBlock: Long = Config.MaxTokenBlock): CanonState = {
     val stats = surfaceStats(mentions)

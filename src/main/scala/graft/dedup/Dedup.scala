@@ -171,9 +171,12 @@ object Dedup {
     * per token (BENCH/dedup_scale.json).
     */
   def simhash(corpus: DataFrame): DataFrame =
-    corpus.select(col("doc_id"), org.apache.spark.sql.graft.Bridge.column(
-      SimHash64(org.apache.spark.sql.graft.Bridge.expression(col("text"))))
-      .as("simhash"))
+    // null-text docs drop entirely — the explode(split(text))-form verdict
+    // (and the oracle's unnest), not a (doc_id, NULL) row
+    corpus.filter(col("text").isNotNull)
+      .select(col("doc_id"), org.apache.spark.sql.graft.Bridge.column(
+        SimHash64(org.apache.spark.sql.graft.Bridge.expression(col("text"))))
+        .as("simhash"))
 
   /** SimHash near-dup pairs at Hamming distance ≤ k (default 3) — the
     * classic web-scale near-duplicate query over the fingerprints (Manku,

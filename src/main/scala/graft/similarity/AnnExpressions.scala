@@ -13,19 +13,28 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * (`aggregate(zip_with(nv, cv, (x,y) -> x*y), 0d, (s,x) -> s+x)`): a
   * sequential index-order fold per centroid, so results are bit-identical
   * to the prior plan and to the DuckDB oracle's `list_inner_product`.
+  *
+  * Malformed-row verdicts (never produced by the wired `embeddings()`
+  * readers, which emit fixed-Dim arrays): a row SHORTER than the baked
+  * plane/centroid width folds over the shared prefix only — deterministic,
+  * never an out-of-bounds `ArrayData` read (the zip_with forms null-padded
+  * instead, yielding null dots); [[dotBoxed]] keeps the explicit
+  * null-on-length-mismatch verdict because its output is nullable.
   */
 object AnnOps {
   /** Cosines of a unit vector against every baked unit centroid;
     * index = centroid id.
     */
   def centroidCos(nv: ArrayData, cents: Array[Array[Double]]): ArrayData = {
+    val n = nv.numElements()
     val out = new Array[Double](cents.length)
     var c = 0
     while (c < cents.length) {
       val cv = cents(c)
+      val lim = math.min(cv.length, n) // shared prefix: a short row never reads OOB
       var s = 0.0
       var i = 0
-      while (i < cv.length) { s += nv.getDouble(i) * cv(i); i += 1 }
+      while (i < lim) { s += nv.getDouble(i) * cv(i); i += 1 }
       out(c) = s
       c += 1
     }
@@ -34,8 +43,10 @@ object AnnOps {
 
   /** Unit vector: x / sqrt(Σx²), both folds in index order — the same
     * arithmetic as the `transform(v, x / sqrt(aggregate(v, 0d, s+x*x)))`
-    * form it replaced. A zero vector divides by zero into ±Infinity/NaN
-    * exactly as the column form did.
+    * form it replaced. A zero vector normalizes to itself (all zeros,
+    * cosine 0 against everything) instead of the column form's
+    * NULL-element array (Spark's non-ANSI Divide) — the same verdict under
+    * every positive similarity threshold, without NaN poisoning argmax.
     */
   def unitVec(v: ArrayData): ArrayData = {
     val n = v.numElements()
@@ -44,8 +55,10 @@ object AnnOps {
     while (i < n) { val x = v.getDouble(i); s += x * x; i += 1 }
     val nrm = math.sqrt(s)
     val out = new Array[Double](n)
-    i = 0
-    while (i < n) { out(i) = v.getDouble(i) / nrm; i += 1 }
+    if (nrm > 0.0) {
+      i = 0
+      while (i < n) { out(i) = v.getDouble(i) / nrm; i += 1 }
+    }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
@@ -67,6 +80,7 @@ object AnnOps {
     * `aggregate(zip_with(v, plane, x*p))` form it replaced.
     */
   def srpKeys(v: ArrayData, planes: Array[Array[Array[Double]]]): ArrayData = {
+    val n = v.numElements()
     val out = new Array[Any](planes.length)
     var b = 0
     while (b < planes.length) {
@@ -75,9 +89,10 @@ object AnnOps {
       var p = 0
       while (p < band.length) {
         val plane = band(p)
+        val lim = math.min(plane.length, n)
         var s = 0.0
         var i = 0
-        while (i < plane.length) { s += v.getDouble(i) * plane(i); i += 1 }
+        while (i < lim) { s += v.getDouble(i) * plane(i); i += 1 }
         bits(p) = if (s > 0) '1' else '0'
         p += 1
       }
@@ -92,14 +107,16 @@ object AnnOps {
     * it replaced).
     */
   def centroidArgmax(nv: ArrayData, cents: Array[Array[Double]]): Int = {
+    val n = nv.numElements()
     var best = 0
     var bestCos = Double.NegativeInfinity
     var c = 0
     while (c < cents.length) {
       val cv = cents(c)
+      val lim = math.min(cv.length, n)
       var s = 0.0
       var i = 0
-      while (i < cv.length) { s += nv.getDouble(i) * cv(i); i += 1 }
+      while (i < lim) { s += nv.getDouble(i) * cv(i); i += 1 }
       if (s > bestCos) { bestCos = s; best = c }
       c += 1
     }

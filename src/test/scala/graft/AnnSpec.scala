@@ -107,4 +107,23 @@ class AnnSpec extends SparkSpec {
     assert(b1 == b2)
     b1.values.foreach(s => assert(s.length == 8))
   }
+
+  test("malformed-row verdicts: short vectors fold the shared prefix, zero vectors normalize to zeros") {
+    import graft.similarity.AnnOps
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val short = new GenericArrayData(Array[Any](1.0, 2.0)) // shorter than the baked width
+    val cents = Array(Array(1.0, 1.0, 1.0), Array(0.0, 1.0, 0.0))
+    // never an out-of-bounds ArrayData read: the fold stops at the prefix
+    val cos = AnnOps.centroidCos(short, cents)
+    assert(cos.toDoubleArray().toSeq == Seq(3.0, 2.0))
+    assert(AnnOps.centroidArgmax(short, cents) == 0)
+    val planes = Array(Array(Array(1.0, 1.0, 1.0), Array(-1.0, 0.0, 0.0)))
+    val keys = AnnOps.srpKeys(short, planes)
+    assert(keys.getUTF8String(0).toString == "10") // 3.0 > 0, -1.0 <= 0
+    // zero vector: all-zero unit vector (cosine 0 everywhere), never NaN
+    val zero = new GenericArrayData(Array[Any](0.0, 0.0, 0.0))
+    val u = AnnOps.unitVec(zero).toDoubleArray()
+    assert(u.toSeq == Seq(0.0, 0.0, 0.0))
+    assert(!u.exists(_.isNaN))
+  }
 }

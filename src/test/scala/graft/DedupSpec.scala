@@ -183,4 +183,11 @@ class DedupSpec extends SparkSpec {
     assert(ab == native(1L),
       "'a a a b' must fingerprint identically to 'a b' (distinct-token semantics)")
   }
+
+  test("simhash drops null-text docs entirely (the explode-form and oracle verdict)") {
+    import spark.implicits._
+    val df = Seq((1L, "a b"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.simhash(df).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L), "null-text doc must not emit a (doc_id, NULL) row")
+  }
 }
