@@ -340,6 +340,24 @@ object SparkEntry {
 
     // --- dedup suite (documents ∪ planted dups) --------------------------
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Dedup.corpus(s, dir))),
+    // incremental fold must equal the full job (same oracle by design, as
+    // q_canon_incr): index from one content-independent half of the corpus,
+    // the other half folded in as a delta; hard rider: the new-docs view
+    // (what a pipeline appends) is exactly the folded hashes absent from
+    // the index, keeper = doc_id
+    "q_dedup_incr" -> ((s, dir) => {
+      val corpus = Dedup.corpus(s, dir)
+      val half = pmod(hash(col("doc_id")), lit(2))
+      val index = Dedup.exact(corpus.filter(half === 0))
+      val delta = corpus.filter(half === 1)
+      val folded = Dedup.exactIncremental(index, delta)
+      val newDocs = Dedup.exactIncrementalNew(index, delta)
+      val viaFold = folded.join(index.select(col("h")), Seq("h"), "left_anti")
+        .select(col("h"), col("keeper").as("doc_id"))
+      require(newDocs.exceptAll(viaFold).isEmpty && viaFold.exceptAll(newDocs).isEmpty,
+        "incremental new-docs view must be exactly the folded hashes absent from the index")
+      folded
+    }),
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(Dedup.corpus(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Dedup.corpus(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Dedup.corpus(s, dir))),
@@ -519,6 +537,8 @@ object SparkEntry {
     "q_domain_stats" -> Oracle.qDomainStats,
     "q_lineage" -> Oracle.qLineage,
     "q_dedup_exact" -> OracleOps.qDedupExact,
+    // incremental fold must equal the full exact dedup — same oracle by design
+    "q_dedup_incr" -> OracleOps.qDedupExact,
     "q_dedup_ngram" -> OracleOps.qDedupNgram,
     "q_dedup_minhash" -> OracleOps.qDedupMinhash,
     "q_dedup_simhash" -> OracleOps.qDedupSimhash,

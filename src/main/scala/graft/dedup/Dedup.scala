@@ -41,6 +41,33 @@ object Dedup {
     corpus.groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
 
+  /** Incremental exact dedup — the production shape at 100 TB: fold a
+    * delta batch into a persisted fingerprint index (`h, n_docs, keeper`,
+    * the [[exact]] schema) WITHOUT rescanning the historical corpus. The
+    * delta collapses first in its own map-side-combinable groupBy, then
+    * merges with the index in one hash-keyed aggregation — (count, min)
+    * are associative-commutative, so for ANY split
+    * `exactIncremental(exact(a), b) == exact(a ∪ b)` exactly (DedupSpec
+    * property; q_dedup_incr hash-matches the full-corpus oracle). Cost is
+    * delta-proportional: the index side moves through one shuffle of
+    * dimension rows (or none, when the persisted index is bucketed by
+    * `h`), never through the historical document corpus.
+    */
+  def exactIncremental(index: DataFrame, delta: DataFrame): DataFrame =
+    index.select(col("h"), col("n_docs"), col("keeper"))
+      .unionByName(exact(delta))
+      .groupBy(col("h"))
+      .agg(sum(col("n_docs")).as("n_docs"), min(col("keeper")).as("keeper"))
+
+  /** The delta documents that survive incremental dedup: the first (min
+    * doc_id) occurrence of each content hash NOT already in the index —
+    * what a training pipeline actually appends to the corpus. Hash-keyed
+    * anti-join after the delta-local collapse, delta-proportional.
+    */
+  def exactIncrementalNew(index: DataFrame, delta: DataFrame): DataFrame =
+    exact(delta).join(index.select(col("h")), Seq("h"), "left_anti")
+      .select(col("h"), col("keeper").as("doc_id"))
+
   /** Distinct word-5-gram shingles per doc — ONE native pass per document
     * ([[WordShingles]]; the prior split → transform/slice/concat_ws HOF
     * form evaluated interpreted and allocated a token slice per shingle).

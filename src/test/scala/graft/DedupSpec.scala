@@ -190,4 +190,28 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.simhash(df).collect()
     assert(out.map(_.getLong(0)).toSet == Set(1L), "null-text doc must not emit a (doc_id, NULL) row")
   }
+
+  test("incremental exact dedup: folding any split equals the full job; empty index/delta are identities") {
+    import spark.implicits._
+    val corpus = Dedup.corpus(spark, sfTiny)
+    val full = Dedup.exact(corpus).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def folded(split: org.apache.spark.sql.Column) = {
+      Dedup.exactIncremental(
+        Dedup.exact(corpus.filter(split === 0)), corpus.filter(split =!= 0))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    // three content-independent split seams
+    assert(folded(pmod(hash(col("doc_id")), lit(2))) == full)
+    assert(folded(pmod(col("doc_id"), lit(3))) == full)
+    assert(folded(pmod(col("doc_id") + 11, lit(7))) == full)
+    // identities
+    val empty = corpus.filter(lit(false))
+    assert(folded(lit(1)) == full, "empty index: fold of the whole corpus is the full job")
+    val idxOnly = Dedup.exactIncremental(Dedup.exact(corpus), empty).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(idxOnly == full, "empty delta: the index passes through unchanged")
+    // new-docs view: nothing new when the index already holds everything
+    assert(Dedup.exactIncrementalNew(Dedup.exact(corpus), corpus).isEmpty)
+  }
 }
