@@ -148,6 +148,28 @@ object DedupScaleBench {
       sig.agg(sum(hash(cols: _*))).head.getLong(0)
     }
 
+    // incremental exact dedup, PRODUCTION-SHAPED: the index and the 1%
+    // delta are their own staged tables (a delta arriving as a filter over
+    // the historical corpus would re-scan every historical byte, defeating
+    // the point). The fold reads delta text + dimension-sized index — it
+    // never re-reads or re-hashes historical text, which is the whole
+    // 100-TB argument; exactness (fold == full-corpus exact) `require`d.
+    val scratchIncr = graft.util.TempDirs.scratch("graft-dedup-scale")
+    val stagedIdx = scratchIncr + "/index"
+    val stagedDelta = scratchIncr + "/delta"
+    val deltaSplit = col("doc_id") % 100
+    Dedup.exact(docs.filter(deltaSplit =!= 0))
+      .write.mode("overwrite").parquet(stagedIdx)
+    docs.filter(deltaSplit === 0).write.mode("overwrite").parquet(stagedDelta)
+    def idxChecksum(df: DataFrame): Long =
+      df.agg(sum(hash(col("h"), col("n_docs"), col("keeper")))).head.getLong(0)
+    val (exFullSec, exFullReps, exFullSum) = minOf(reps)(idxChecksum(Dedup.exact(docs)))
+    val (exIncrSec, exIncrReps, exIncrSum) = minOf(reps)(idxChecksum(
+      Dedup.exactIncremental(spark.read.parquet(stagedIdx),
+        spark.read.parquet(stagedDelta))))
+    require(exFullSum == exIncrSum,
+      s"incremental fold drift: full=$exFullSum incremental=$exIncrSum")
+
     def fmt(ts: Seq[Double]) = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     println(
       s"""{"metric":"dedup_scale","n_docs":$n,"tokens_per_doc":$tokens,""" +
@@ -162,6 +184,9 @@ object DedupScaleBench {
       s""""simhash_band_sec":${f"$bandSec%.3f"},"simhash_band_reps":${fmt(bandReps)},""" +
       s""""simhash_combo_candidates":$comboCands,"simhash_band_candidates":$bandCands,""" +
       s""""simhash_planted_pairs":$nPlanted,"simhash_pairs_exact":true,""" +
+      s""""exact_full_sec":${f"$exFullSec%.3f"},"exact_full_reps":${fmt(exFullReps)},""" +
+      s""""exact_incr_sec":${f"$exIncrSec%.3f"},"exact_incr_reps":${fmt(exIncrReps)},""" +
+      s""""exact_incr_equal":true,""" +
       s""""cpus":$cpus}""")
     spark.stop()
   }

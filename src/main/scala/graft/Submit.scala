@@ -49,6 +49,10 @@ import graft.streaming.{Recanon, Streaming}
   *    refresh ignores and reclaims. The input is a delta BY CONTRACT
   *    (pages not already folded into the carried state), exactly like the
   *    stream feed's at-most-once placement.
+  *  - `dedup`: fold a delta documents batch `(doc_id, text)` into the
+  *    carried exact-dedup fingerprint index (same `_DONE` version
+  *    discipline as `refresh`); each version materializes the merged
+  *    index and `new_docs`, the batch's append set.
   *  - `compact`: re-canonicalization of the materialized stream sink under
   *    a fresh alias map ([[Recanon.recanonicalize]]) — rewrites only the
   *    micro-batches whose provenance went stale.
@@ -93,6 +97,7 @@ object Submit {
       case "batch"   => runBatch(spark, opts)
       case "stream"  => runStream(spark, opts)
       case "refresh" => runRefresh(spark, opts)
+      case "dedup"   => runDedup(spark, opts)
       case "compact" => runCompact(spark, opts)
       case "repair"  => runRepair(spark, opts)
       case other     => throw new IllegalArgumentException(s"unknown subcommand '$other'\n$usage")
@@ -103,6 +108,7 @@ object Submit {
     "batch"   -> Set("input", "output", "buckets", "batch-id", "bucket-by", "gazetteer", "canon-out"),
     "stream"  -> Set("input", "output", "checkpoint", "canon", "buckets", "files-per-trigger", "trigger-ms", "bucket-by", "gazetteer"),
     "refresh" -> Set("input", "state", "gazetteer", "canon-out"),
+    "dedup"   -> Set("input", "index"),
     "compact" -> Set("output", "canon", "input", "gazetteer"),
     "repair"  -> Set("output"))
 
@@ -116,6 +122,9 @@ object Submit {
       |          [--trigger-ms <n>] [--bucket-by hash|docid] [--gazetteer <parquet>]
       |  refresh --input <delta pages parquet> --state <canon state dir>
       |          [--gazetteer <parquet>] [--canon-out <alias dir>]
+      |  dedup   --input <delta docs parquet (doc_id, text)> --index <index state dir>
+      |          (fold the delta into the exact-dedup fingerprint index;
+      |           writes v<N>/{index,new_docs})
       |  compact --output <sink dir> (--canon <alias parquet> | --input <pages parquet>)
       |          [--gazetteer <parquet>]
       |  repair  --output <sink dir>   (rebuild lineage/metrics sidecars from the table)""".stripMargin
@@ -249,6 +258,46 @@ object Submit {
       spark.read.parquet(s"$state/v$next/alias").write.mode("overwrite").parquet(p))
     val n = spark.read.parquet(s"$state/v$next/alias").count()
     println(s"[submit] refresh: $how -> v$next ($n surfaces)")
+  }
+
+  /** `dedup`: fold a delta documents batch into the carried exact-dedup
+    * fingerprint index ([[graft.dedup.Dedup.foldIndex]]) — the corpus-scale
+    * shape where history is never rescanned. Same `_DONE`-flagged version
+    * discipline as `refresh`; each version also materializes `new_docs`,
+    * the batch's append set (first occurrence of every hash the index has
+    * not seen). The input is a delta BY CONTRACT, like `refresh`'s. */
+  private def runDedup(spark: SparkSession, opts: Map[String, String]): Unit = {
+    import graft.util.SinkFs
+    import org.apache.spark.sql.functions.col
+    val index = req(opts, "index")
+    // Collapse the delta once (lazy cut): the fold write and the new-docs
+    // write both consume it.
+    val dstats = org.apache.spark.sql.GraftSqlShims.localCheckpointFreshLazy(
+      graft.dedup.Dedup.exact(
+        spark.read.parquet(req(opts, "input")).select(col("doc_id"), col("text"))))
+    def done(v: Int): Boolean = SinkFs.exists(spark, s"$index/v$v/_DONE")
+    val versions = SinkFs.listPrefixed(spark, index, "v")
+      .flatMap(n => scala.util.Try(n.stripPrefix("v").toInt).toOption)
+    val cur = versions.filter(done).sorted.lastOption
+    val (folded, newDocs, how) = cur match {
+      case None =>
+        (dstats, dstats.select(col("h"), col("keeper").as("doc_id")), "initial")
+      case Some(v) =>
+        val idx = spark.read.parquet(s"$index/v$v/index")
+        (graft.dedup.Dedup.foldIndex(idx, dstats),
+          graft.dedup.Dedup.newAgainst(idx, dstats), "incremental")
+    }
+    val next = cur.map(_ + 1).getOrElse(0)
+    folded.write.mode("overwrite").parquet(s"$index/v$next/index")
+    newDocs.write.mode("overwrite").parquet(s"$index/v$next/new_docs")
+    SinkFs.touch(spark, s"$index/v$next/_DONE")
+    // Keep the published version and its predecessor; reclaim older and
+    // unflagged crash residue — same policy as refresh.
+    versions.filter(v => cur.exists(_ > v) || !done(v))
+      .foreach(v => SinkFs.deleteLoud(spark, s"$index/v$v"))
+    val n = spark.read.parquet(s"$index/v$next/index").count()
+    val nNew = spark.read.parquet(s"$index/v$next/new_docs").count()
+    println(s"[submit] dedup: $how -> v$next ($n fingerprints, $nNew new docs)")
   }
 
   private def runCompact(spark: SparkSession, opts: Map[String, String]): Unit = {

@@ -54,10 +54,7 @@ object Dedup {
     * `h`), never through the historical document corpus.
     */
   def exactIncremental(index: DataFrame, delta: DataFrame): DataFrame =
-    index.select(col("h"), col("n_docs"), col("keeper"))
-      .unionByName(exact(delta))
-      .groupBy(col("h"))
-      .agg(sum(col("n_docs")).as("n_docs"), min(col("keeper")).as("keeper"))
+    foldIndex(index, exact(delta))
 
   /** The delta documents that survive incremental dedup: the first (min
     * doc_id) occurrence of each content hash NOT already in the index —
@@ -65,7 +62,20 @@ object Dedup {
     * anti-join after the delta-local collapse, delta-proportional.
     */
   def exactIncrementalNew(index: DataFrame, delta: DataFrame): DataFrame =
-    exact(delta).join(index.select(col("h")), Seq("h"), "left_anti")
+    newAgainst(index, exact(delta))
+
+  /** Stats-level fold: merge already-collapsed delta stats ([[exact]]
+    * schema) into the index. Exposed so a caller taking BOTH the fold and
+    * the new-docs view (e.g. `Submit dedup`) collapses the delta once. */
+  def foldIndex(index: DataFrame, deltaStats: DataFrame): DataFrame =
+    index.select(col("h"), col("n_docs"), col("keeper"))
+      .unionByName(deltaStats)
+      .groupBy(col("h"))
+      .agg(sum(col("n_docs")).as("n_docs"), min(col("keeper")).as("keeper"))
+
+  /** Stats-level new-docs view, same contract as [[exactIncrementalNew]]. */
+  def newAgainst(index: DataFrame, deltaStats: DataFrame): DataFrame =
+    deltaStats.join(index.select(col("h")), Seq("h"), "left_anti")
       .select(col("h"), col("keeper").as("doc_id"))
 
   /** Distinct word-5-gram shingles per doc — ONE native pass per document

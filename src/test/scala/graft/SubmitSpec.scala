@@ -156,6 +156,46 @@ class SubmitSpec extends SparkSpec {
     assert(left == Set("v1", "v2"))
   }
 
+  test("dedup folds document deltas into a versioned fingerprint index, equal to the full job") {
+    val dir = scratch("graft-submit-dedup")
+    val corpus = graft.dedup.Dedup.corpus(spark, sfTiny)
+    val half = pmod(hash(col("doc_id")), lit(2))
+    corpus.filter(half === 0).write.parquet(s"$dir/delta0")
+    corpus.filter(half === 1).write.parquet(s"$dir/delta1")
+    def idx(v: Int): Set[(String, Long, Long)] =
+      spark.read.parquet(s"$dir/index/v$v/index").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val full = graft.dedup.Dedup.exact(corpus).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    // initial fold publishes v0 = exact dedup of delta0; new_docs = all of it
+    Submit.run(spark, Array("dedup", "--input", s"$dir/delta0", "--index", s"$dir/index"))
+    assert(new java.io.File(s"$dir/index/v0/_DONE").exists())
+    assert(idx(0) == graft.dedup.Dedup.exact(corpus.filter(half === 0)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
+    assert(spark.read.parquet(s"$dir/index/v0/new_docs").count() == idx(0).size)
+
+    // second fold: v1 must equal the full-corpus exact dedup; new_docs are
+    // exactly the hashes v0 had not seen
+    Submit.run(spark, Array("dedup", "--input", s"$dir/delta1", "--index", s"$dir/index"))
+    assert(idx(1) == full)
+    val newDocs = spark.read.parquet(s"$dir/index/v1/new_docs").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // new = hashes v0 had not seen (a hash in BOTH halves is not new even
+    // when delta1 carries a smaller keeper for it)
+    val expected = full.map(_._1) -- idx(0).map(_._1)
+    assert(newDocs.map(_._1) == expected)
+
+    // empty third delta: index passes through, zero new docs, v0 reclaimed
+    corpus.limit(0).write.parquet(s"$dir/delta_empty")
+    Submit.run(spark, Array("dedup", "--input", s"$dir/delta_empty", "--index", s"$dir/index"))
+    assert(idx(2) == full)
+    assert(spark.read.parquet(s"$dir/index/v2/new_docs").count() == 0)
+    val left = new java.io.File(s"$dir/index").listFiles().map(_.getName)
+      .filter(_.startsWith("v")).toSet
+    assert(left == Set("v1", "v2"))
+  }
+
   test("usage errors are loud: unknown subcommand, missing required option, unknown option") {
     intercept[IllegalArgumentException] {
       Submit.run(spark, Array("frobnicate"))
