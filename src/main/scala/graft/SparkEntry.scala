@@ -127,7 +127,9 @@ object SparkEntry {
           col("o.start").cast("long").as("pos"), col("o.end").cast("long").as("pos_end"))
     }),
     "q_triples" -> ((s, dir) => {
-      Relations.cooccurrence(Pipeline.mentionsCached(s, dir)).toDF()
+      // shuffle-free pairing over the segment-contiguous scan output (loud
+      // guard on violation); identical triples to Relations.cooccurrence
+      Relations.cooccurrenceContiguous(Pipeline.mentionsCached(s, dir)).toDF()
         .groupBy(col("subj"), col("pred"), col("obj"), col("url"))
         .agg(count(lit(1)).as("n"))
     }),

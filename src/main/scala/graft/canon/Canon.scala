@@ -163,7 +163,7 @@ object Canon {
     */
   def connectedComponentsWithRounds(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 60, localThreshold: Long = 100000L,
-      hubDegree: Long = 1024L): (DataFrame, Int) = {
+      hubDegree: Long = 1024L, bcastBound: Long = 1000000L): (DataFrame, Int) = {
     // Materialize the (possibly expensive — e.g. a banded similarity
     // self-join) edge input ONCE: the size gate, the local collect()/first
     // distributed round would otherwise each re-run the edge pipeline.
@@ -184,8 +184,27 @@ object Canon {
     // the work when |V| is tiny. Identical output (component = min member).
     // Gated on BOTH vertex and edge count — a 100k-vertex similarity graph
     // can carry O(V²) edges, which must never be collect()ed.
-    if (vs.count() <= localThreshold && es.count() <= localThreshold)
+    val vsCount = vs.count()
+    val esCount = es.count()
+    if (vsCount <= localThreshold && esCount <= localThreshold)
       return (ccLocal(vs, es), 0)
+    // Scale-adaptive round sizing (guide §2: derive partitioning from the
+    // measured input, never a constant): the per-round pair set is bounded
+    // by the edge count, so round exchanges are coalesced to ~50k pairs per
+    // partition, capped at the session's configured shuffle parallelism
+    // (the production knob). Without this every round of a small-but-forced-
+    // distributed graph materializes conf-many near-empty tasks per stage —
+    // measured 32 tasks per checkpoint for a 4k-pair set, ~1.1 s/round of
+    // pure scheduling at local[32].
+    val spark0 = vertices.sparkSession
+    val confPar = spark0.sessionState.conf.numShufflePartitions
+    val nPart = math.max(1, math.min(confPar, (math.max(vsCount, esCount) / 50000L).toInt + 1))
+    // A dimension-sized neighborhood-min table collects/broadcasts (standard
+    // broadcast-below-threshold policy — `bcastBound` is exposed so tests
+    // can force either branch); past the gate the rounds run the hub-split
+    // hash-join formulation so a mega-hub's adjacency still never lands on
+    // a single reducer.
+    val bcastM = math.max(vsCount, esCount) <= bcastBound
     // Edges referencing endpoints absent from `vertices` are ignored — the
     // exact semantics of ccLocal's parent.contains guard, enforced here so
     // the two paths can never diverge.
@@ -196,21 +215,43 @@ object Canon {
     var pairs = ck(known
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct())
-    var rounds = 0
-    // Fixpoint detection via an order-independent edge-set checksum
-    // (count + bit_xor of xxhash64(a,b)): ONE tiny driver action per round
-    // on the lazily-checkpointed pair set — the aggregate doubles as the
-    // checkpoint-materializing action (SURVEY §7.6 risk 5 — batched driver
-    // actions). A checksum MATCH is confirmed with one exact set compare
-    // before the loop exits: counts are equal by construction (part of the
-    // signature), so `next \ pairs = ∅` ⇒ set equality — a bit_xor hash
-    // collision therefore cannot terminate the loop early with wrong
-    // components; it only costs one extra round.
+      .distinct()
+      .coalesce(nPart))
+    // Dimension-sized graphs iterate at the RDD layer (identical math, two
+    // shuffles + one vertex-bounded driver collect per round); past the
+    // broadcast gate the rounds run as the DataFrame hub-split formulation.
+    val (finalPairs, rounds) =
+      if (bcastM) ccRoundsRdd(spark0, pairs, nPart, maxIter)
+      else ccRoundsDf(pairs, hubDegree, nPart, maxIter)
+    // Fixpoint is a star forest: every pair is (component-min, member).
+    val labels = vs
+      .join(finalPairs.select(col("b").as("surface"), col("a").as("component")), Seq("surface"), "left")
+      .select(col("surface"), coalesce(col("component"), col("surface")).as("component"))
+    (labels, rounds)
+  }
+
+  /** The alternating star-round fixpoint loop, DataFrame form — the branch
+    * for graphs whose neighborhood-min table may exceed broadcast/driver
+    * bounds (hub-split joins, AQE skew handling).
+    *
+    * Fixpoint detection via an order-independent edge-set checksum
+    * (count + bit_xor of xxhash64(a,b)): ONE tiny driver action per round
+    * on the lazily-checkpointed pair set — the aggregate doubles as the
+    * checkpoint-materializing action (SURVEY §7.6 risk 5 — batched driver
+    * actions). A checksum MATCH is confirmed with one exact set compare
+    * before the loop exits: counts are equal by construction (part of the
+    * signature), so `next \ pairs = ∅` ⇒ set equality — a bit_xor hash
+    * collision therefore cannot terminate the loop early with wrong
+    * components; it only costs one extra round.
+    */
+  private def ccRoundsDf(pairs0: DataFrame, hubDegree: Long, nPart: Int,
+      maxIter: Int): (DataFrame, Int) = {
     def checksum(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).first()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
+    var pairs = pairs0
+    var rounds = 0
     var sig = checksum(pairs)
     var converged = sig._1 == 0L
     while (!converged && rounds < maxIter) {
@@ -219,9 +260,9 @@ object Canon {
       // itself to m(u). Alternating the two is the published O(log n)
       // scheme; the fixpoint is a star forest centered at component minima.
       val tR = System.nanoTime()
-      val (afterLarge, mLarge) = starRound(pairs, hubDegree, large = true)
+      val (afterLarge, mLarge) = starRound(pairs, hubDegree, large = true, nPart)
       val tL = System.nanoTime()
-      val (next, mSmall) = starRound(afterLarge, hubDegree, large = false)
+      val (next, mSmall) = starRound(afterLarge, hubDegree, large = false, nPart)
       val tS = System.nanoTime()
       // Materializes next's checkpoint AND afterLarge's (first touch) in
       // one job, while both rounds' cached m aggregates are still live.
@@ -236,20 +277,98 @@ object Canon {
         println(f"[cc] round $rounds large=${(tL - tR) / 1e9}%.2fs small=${(tS - tL) / 1e9}%.2fs " +
           f"check=${(System.nanoTime() - tS) / 1e9}%.2fs n=${nextSig._1}")
     }
-    // Fail loudly on non-convergence: the pair set is not yet a star
-    // forest, so the extraction below could emit conflicting component
-    // labels per vertex — silent corruption of every downstream canonical
-    // map. (See the maxIter sizing note on connectedComponents.)
+    requireConverged(converged, maxIter, rounds)
+    (pairs, rounds)
+  }
+
+  /** The same alternating star-round loop at the RDD layer — the branch for
+    * graphs small enough that the per-source minimum collects to a driver
+    * map (the [[connectedComponentsWithRounds]] broadcast gate). Math is
+    * line-for-line [[starRound]]'s: m(u) = min(Γ(u) ∪ {u}); large-star
+    * emits (m(src), dst) for dst > src; small-star emits (m(src), dst) for
+    * dst < src plus (m(src), src) for every src; self-loops dropped,
+    * distinct per round; convergence = signature match confirmed by an
+    * exact set compare (subtract), exactly like the DataFrame loop. Why a
+    * second layer: each DataFrame round pays a fresh Catalyst
+    * analyze/optimize/plan cycle (measured ~0.4 s/round on a 4k-pair set —
+    * scheduling, not data), which is the textbook reason iterative graph
+    * engines run on RDDs; here a round is two shuffles and one
+    * vertex-bounded collect with zero per-round planning. CanonSpec pins
+    * RDD-branch ≡ DataFrame-branch ≡ local union-find on forced graphs.
+    */
+  private def ccRoundsRdd(spark: org.apache.spark.sql.SparkSession,
+      pairs0: DataFrame, nPart: Int, maxIter: Int): (DataFrame, Int) = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    val sc = spark.sparkContext
+    val part = new HashPartitioner(nPart)
+    def h64(a: String, b: String): Long =
+      (scala.util.hashing.MurmurHash3.stringHash(a).toLong << 32) ^
+        (scala.util.hashing.MurmurHash3.stringHash(b).toLong & 0xffffffffL)
+    def checksum(p: RDD[(String, String)]): (Long, Long) =
+      p.mapPartitions { it =>
+        var n = 0L; var x = 0L
+        it.foreach { case (a, b) => n += 1; x ^= h64(a, b) }
+        Iterator((n, x))
+      }.fold((0L, 0L)) { case ((n1, x1), (n2, x2)) => (n1 + n2, x1 ^ x2) }
+
+    var pairs: RDD[(String, String)] =
+      pairs0.rdd.map(r => (r.getString(0), r.getString(1)))
+    pairs.localCheckpoint()
+    var rounds = 0
+    var sig = checksum(pairs)
+    var converged = sig._1 == 0L
+    while (!converged && rounds < maxIter) {
+      val tR = System.nanoTime()
+      def star(p: RDD[(String, String)], large: Boolean)
+          : (RDD[(String, String)], org.apache.spark.broadcast.Broadcast[Map[String, String]]) = {
+        val sym = p.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+        val m = sym.reduceByKey(part, (x: String, y: String) => if (x <= y) x else y)
+          .map { case (s, mn) => (s, if (mn < s) mn else s) }
+        val mMap = sc.broadcast(m.collectAsMap().toMap)
+        val base = sym.mapPartitions { it =>
+          val mm = mMap.value
+          it.flatMap { case (src, dst) =>
+            if (large) { if (dst > src) Iterator((mm(src), dst)) else Iterator.empty }
+            else { if (dst < src) Iterator((mm(src), dst)) else Iterator.empty }
+          }
+        }
+        // small-star self pairs (m(src), src) come from the m RDD — its
+        // reduceByKey shuffle output is reused, not recomputed
+        val emitted = if (large) base else base ++ m.map { case (s, mv) => (mv, s) }
+        (emitted.filter { case (a, b) => a != b }.distinct(nPart), mMap)
+      }
+      val (afterLarge, mL) = star(pairs, large = true)
+      val (next, mS) = star(afterLarge, large = false)
+      next.localCheckpoint() // lineage cut, materialized by the checksum job
+      val tS = System.nanoTime()
+      val nextSig = checksum(next)
+      converged = nextSig == sig && next.subtract(pairs, nPart).isEmpty()
+      mL.destroy()
+      mS.destroy()
+      pairs.unpersist(false)
+      sig = nextSig
+      pairs = next
+      rounds += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] round $rounds stars=${(tS - tR) / 1e9}%.2fs " +
+          f"check=${(System.nanoTime() - tS) / 1e9}%.2fs n=${nextSig._1}")
+    }
+    requireConverged(converged, maxIter, rounds)
+    import spark.implicits._
+    (pairs.toDF("a", "b"), rounds)
+  }
+
+  /** Fail loudly on non-convergence: the pair set is not yet a star forest,
+    * so label extraction could emit conflicting component labels per vertex
+    * — silent corruption of every downstream canonical map. (See the
+    * maxIter sizing note on [[connectedComponents]].)
+    */
+  private def requireConverged(converged: Boolean, maxIter: Int, rounds: Int): Unit =
     require(converged,
       s"connected components did not converge within maxIter=$maxIter " +
         s"rounds ($rounds executed) — raise maxIter (~1.5*log2(|V|) rounds " +
         "are needed; default 60 covers 1e12 vertices)")
-    // Fixpoint is a star forest: every pair is (component-min, member).
-    val labels = vs
-      .join(pairs.select(col("b").as("surface"), col("a").as("component")), Seq("surface"), "left")
-      .select(col("surface"), coalesce(col("component"), col("surface")).as("component"))
-    (labels, rounds)
-  }
 
   /** Per-source neighborhood minimum m(src) = min(Γ(src) ∪ {src}) and the
     * degree, joined back onto the symmetric edge list. The min/count agg is
@@ -258,13 +377,15 @@ object Canon {
     * mega-component hub never lands its whole adjacency on one reducer
     * (north_star "salted, AQE-rebalanced" CC).
     */
-  private def withNbrMin(sym: DataFrame, hubDegree: Long): (DataFrame, DataFrame) = {
+  private def withNbrMin(sym: DataFrame, hubDegree: Long,
+      nPart: Int): (DataFrame, DataFrame) = {
     // cache (lazy), not an eager checkpoint: m is consumed 2-3× inside one
     // star op and discarded — no extra materialization job, and lineage is
     // already cut at the per-round pair checkpoints
     val m = sym.groupBy(col("src"))
       .agg(min(col("dst")).as("mn"), count(lit(1)).as("deg"))
       .select(col("src"), least(col("mn"), col("src")).as("m"), col("deg"))
+      .coalesce(nPart)
       .cache()
     val hubs = m.filter(col("deg") > hubDegree).select(col("src"), col("m"))
     val symCold = sym.join(hubs.select(col("src")), Seq("src"), "left_anti")
@@ -293,8 +414,8 @@ object Canon {
     * executes).
     */
   private def starRound(pairs: DataFrame, hubDegree: Long,
-      large: Boolean): (DataFrame, DataFrame) = {
-    val (symM, m) = withNbrMin(symmetrize(pairs), hubDegree)
+      large: Boolean, nPart: Int): (DataFrame, DataFrame) = {
+    val (symM, m) = withNbrMin(symmetrize(pairs), hubDegree, nPart)
     val emitted =
       if (large)
         symM.filter(col("dst") > col("src"))
@@ -303,8 +424,12 @@ object Canon {
         symM.filter(col("dst") < col("src"))
           .select(col("m").as("a"), col("dst").as("b")) // m ≤ dst by definition
           .unionByName(m.select(col("m").as("a"), col("src").as("b")))
+    // coalesce AFTER the distinct: map-side partial dedup is kept, only the
+    // post-exchange final-aggregate + checkpoint stage shrinks to nPart
+    // tasks (the checkpoint would otherwise pin conf-many partitions for
+    // the rest of the loop's lifetime)
     val out = org.apache.spark.sql.GraftSqlShims.localCheckpointFreshLazy(
-      emitted.filter(col("a") =!= col("b")).distinct())
+      emitted.filter(col("a") =!= col("b")).distinct().coalesce(nPart))
     (out, m)
   }
 

@@ -166,6 +166,104 @@ object Fuzzy {
 
   // ------------------------------------------------------- char windows J5
 
+  /** Per-entity precomputed state for the char-window scan, hoisted out of
+    * [[charWindowMatches]] so the distributed scan builds it once per
+    * (partition, entity) instead of once per (segment, entity). Every field
+    * is exactly the value the per-call code used to derive.
+    */
+  private[fuzzy] final class CharEntity(val entity: String) {
+    val normEntity: String = Text.normWs(entity)
+    val entityLen: Int = normEntity.length
+    val win: Int = math.max(50, math.min(500, (entityLen * 2.5).toInt))
+    val step: Int = math.max(1, win / 2)
+    val entLower: String = normEntity.toLowerCase(java.util.Locale.ROOT)
+    val entCounts: java.util.HashMap[Character, Int] = charCounts(entLower)
+    /** ASCII histogram twin of entCounts for the allocation-free fast path
+      * (chars ≥ 128 in the entity can never match an ASCII candidate char,
+      * so the histogram only needs the ASCII range). */
+    val entCounts128: Array[Int] = {
+      val a = new Array[Int](128)
+      var i = 0
+      while (i < entLower.length) {
+        val c = entLower.charAt(i)
+        if (c < 128) a(c) += 1
+        i += 1
+      }
+      a
+    }
+  }
+
+  /** Per-text precomputed state for the char-window scan, built once per
+    * segment. For pure-ASCII text (the dominant case at corpus scale) it
+    * enables two EXACT-output-preserving optimizations:
+    *
+    *  1. a whole-text character-multiset upper bound that skips a
+    *     (text, entity) pair outright when no candidate substring can reach
+    *     the threshold: for any candidate with normalized length lb and
+    *     multiset intersection m against the entity, m ≤ mText (candidate
+    *     chars are a sub-multiset of the text's, whitespace counted as ' '
+    *     since normWs only collapses runs) and quick_ratio = 2m/(la+lb) ≤
+    *     2·min(mText, lb)/(la+lb), which is maximized at lb = mText, giving
+    *     the pair bound 2·mText/(la+mText) ≥ every candidate's ratio;
+    *  2. allocation-free candidate scoring over [lo, hi) ranges of the
+    *     pre-lowercased text wherever the candidate is a fixed point of
+    *     normWs (no leading/trailing whitespace, every internal whitespace
+    *     char a lone ' '). ASCII makes toLowerCase per-char and
+    *     context-free, so range slices of the lowered text equal the
+    *     per-candidate lowercase the fallback path computes.
+    *
+    * Non-ASCII text takes the original substring + normWs path unchanged
+    * (String.toLowerCase is context-sensitive — e.g. final sigma — and can
+    * change lengths, so none of the range arithmetic is safe there).
+    */
+  private[fuzzy] final class CharText(val text: String) {
+    val ascii: Boolean = {
+      var i = 0; var a = true
+      while (a && i < text.length) { if (text.charAt(i) >= 128) a = false; i += 1 }
+      a
+    }
+    val lower: String = if (ascii) text.toLowerCase(java.util.Locale.ROOT) else null
+    private val ws: Array[Boolean] = if (!ascii) null else {
+      val a = new Array[Boolean](text.length)
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        a(i) = Character.isWhitespace(c) || Character.isSpaceChar(c)
+        i += 1
+      }
+      a
+    }
+    // badPrefix(i) = #positions < i that break normWs identity: a ws char
+    // that is not a lone ' ' (non-space ws, or ws followed by ws)
+    private val badPrefix: Array[Int] = if (!ascii) null else {
+      val a = new Array[Int](text.length + 1)
+      var i = 0
+      while (i < text.length) {
+        val bad = ws(i) && (text.charAt(i) != ' ' || (i + 1 < text.length && ws(i + 1)))
+        a(i + 1) = a(i) + (if (bad) 1 else 0)
+        i += 1
+      }
+      a
+    }
+    /** candidate [lo, hi) is a fixed point of normWs (ASCII text only): no
+      * leading/trailing ws and no internal identity-breaking ws position
+      * (internal positions are [lo+1, hi-2], whose lookahead stays inside
+      * the candidate because hi-1 is non-ws). */
+    def normIdentity(lo: Int, hi: Int): Boolean =
+      !ws(lo) && !ws(hi - 1) && badPrefix(hi - 1) - badPrefix(lo) == 0
+    /** Lowered-text histogram with every ws char counted as ' ' — an upper
+      * bound on any normWs'd candidate's char counts. */
+    val counts128: Array[Int] = if (!ascii) null else {
+      val a = new Array[Int](128)
+      var i = 0
+      while (i < text.length) {
+        a(if (ws(i)) ' ' else lower.charAt(i)) += 1
+        i += 1
+      }
+      a
+    }
+  }
+
   /** Char-window fuzzy search of one entity in one text — faithful
     * `fuzzy_match_with_window` (check_fuzzy_windows_match.py:28-119):
     * step positions i = 0, step, … ≤ len(text)−len(entity); window =
@@ -185,18 +283,45 @@ object Fuzzy {
     * out at 21 chars) but a stated fidelity boundary of the general API.
     */
   def charWindowMatches(text: String, entity: String,
-      threshold: Double = Config.FuzzyWindowThreshold): List[FuzzyMatch] = {
-    val normEntity = Text.normWs(entity)
-    val entityLen = normEntity.length
+      threshold: Double = Config.FuzzyWindowThreshold): List[FuzzyMatch] =
+    charWindowMatchesPre(new CharText(text), new CharEntity(entity), threshold)
+
+  /** [[charWindowMatches]] over precomputed per-text / per-entity state —
+    * the distributed scan's form. Output is identical to the historical
+    * per-call implementation: the ASCII fast path only (a) skips pairs whose
+    * whole-text bound proves no candidate can reach the threshold and
+    * (b) scores normWs-fixed-point candidates over index ranges instead of
+    * fresh substrings; every pruning predicate and tie-break is unchanged.
+    */
+  private[fuzzy] def charWindowMatchesPre(ct: CharText, ce: CharEntity,
+      threshold: Double): List[FuzzyMatch] = {
+    val text = ct.text
+    val entityLen = ce.entityLen
     if (entityLen == 0 || text.isEmpty || text.length < entityLen) return Nil
-    val win = math.max(50, math.min(500, (entityLen * 2.5).toInt))
-    val step = math.max(1, win / 2)
-    val entLower = normEntity.toLowerCase(java.util.Locale.ROOT)
-    val entCounts = charCounts(entLower)
+    val win = ce.win
+    val step = ce.step
+    val entLower = ce.entLower
+    val entCounts = ce.entCounts
+    val la = entLower.length
+    val fast = ct.ascii
+
+    if (fast) {
+      // Whole-pair multiset bound (see CharText scaladoc): skip the entity
+      // when NO candidate anywhere in the text can reach the threshold.
+      var mText = 0
+      var c = 0
+      while (c < 128) { mText += math.min(ce.entCounts128(c), ct.counts128(c)); c += 1 }
+      if (2.0 * mText / (la + mText) < threshold) return Nil
+    }
+    // quickBound scratch for the range path: per-candidate histogram reset
+    // via generation stamps, no per-candidate allocation
+    val avail = if (fast) new Array[Int](128) else null
+    val stamp = if (fast) new Array[Int](128) else null
+    var gen = 0
 
     def sim(candidate: String, bestScore: Double): Double = {
       val candLower = Text.normWs(candidate).toLowerCase(java.util.Locale.ROOT)
-      val la = entLower.length; val lb = candLower.length
+      val lb = candLower.length
       // prune: candidates whose upper bound is < threshold can never be
       // emitted; <= bestScore can never strictly beat the current best —
       // identical accepted output, orders of magnitude fewer full ratios.
@@ -207,24 +332,48 @@ object Fuzzy {
       ratio(entLower, candLower)
     }
 
+    /** sim over the normWs-fixed-point range [lo, hi) of ct.lower — same
+      * bounds, same pruning, same ratio as [[sim]] on the equal string. */
+    def simRange(lo: Int, hi: Int, bestScore: Double): Double = {
+      val lb = hi - lo
+      val rq = realQuickBound(la, lb)
+      if (rq < threshold || rq <= bestScore) return -1.0
+      gen += 1
+      var m = 0
+      var i = lo
+      val lower = ct.lower
+      while (i < hi) {
+        val ch = lower.charAt(i)
+        if (stamp(ch) != gen) { avail(ch) = ce.entCounts128(ch); stamp(ch) = gen }
+        if (avail(ch) > 0) { m += 1; avail(ch) -= 1 }
+        i += 1
+      }
+      val q = 2.0 * m / (lb + la)
+      if (q < threshold || q <= bestScore) return -1.0
+      2.0 * totalMatched(entLower, 0, la, lower, lo, hi) / (la + lb)
+    }
+
     val matchedRanges = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
     val matches = scala.collection.mutable.ListBuffer.empty[FuzzyMatch]
     var i = 0
     while (i <= text.length - entityLen) {
       val wStart = math.max(0, i - win / 2)
       val wEnd = math.min(text.length, i + entityLen + win / 2)
-      val windowText = text.substring(wStart, wEnd)
       var bestScore = 0.0
-      var bestMatch: String = null
-      var bestPos = -1
-      // scan 1: candidates at exact entity length
-      var j = 0
-      while (j + entityLen <= windowText.length) {
-        val cand = windowText.substring(j, j + entityLen)
-        val score = sim(cand, bestScore)
-        if (score > bestScore) { bestScore = score; bestMatch = cand; bestPos = wStart + j }
-        j += 1
+      var bestLo = -1
+      var bestHi = -1
+      // one candidate [lo, lo+len): range-scored when possible, else the
+      // substring fallback — identical scores either way
+      def consider(lo: Int, len: Int): Unit = {
+        val hi = lo + len
+        val score =
+          if (fast && ct.normIdentity(lo, hi)) simRange(lo, hi, bestScore)
+          else sim(text.substring(lo, hi), bestScore)
+        if (score > bestScore) { bestScore = score; bestLo = lo; bestHi = hi }
       }
+      // scan 1: candidates at exact entity length
+      var j = wStart
+      while (j + entityLen <= wEnd) { consider(j, entityLen); j += 1 }
       // scan 2: length deltas (delta 0 is scan 1 again — a re-score of the
       // same candidates can never be STRICTLY better, so it is skipped)
       val tol = math.min(20, entityLen / 4)
@@ -232,22 +381,17 @@ object Fuzzy {
       while (delta <= tol) {
         val adjLen = entityLen + delta
         if (delta != 0 && adjLen >= 3) {
-          var j2 = 0
-          while (j2 + adjLen <= windowText.length) {
-            val cand = windowText.substring(j2, j2 + adjLen)
-            val score = sim(cand, bestScore)
-            if (score > bestScore) { bestScore = score; bestMatch = cand; bestPos = wStart + j2 }
-            j2 += 1
-          }
+          var j2 = wStart
+          while (j2 + adjLen <= wEnd) { consider(j2, adjLen); j2 += 1 }
         }
         delta += 1
       }
-      if (bestScore >= threshold && bestMatch != null && bestPos >= 0) {
-        val bEnd = bestPos + bestMatch.length
-        val overlapping = matchedRanges.exists { case (s, e) => !(bestPos >= e || bEnd <= s) }
+      if (bestScore >= threshold && bestLo >= 0) {
+        val overlapping = matchedRanges.exists { case (s, e) => !(bestLo >= e || bestHi <= s) }
         if (!overlapping) {
-          matches += FuzzyMatch(entity, bestMatch, bestPos, bEnd, bestScore)
-          matchedRanges += ((bestPos, bEnd))
+          matches += FuzzyMatch(ce.entity, text.substring(bestLo, bestHi),
+            bestLo, bestHi, bestScore)
+          matchedRanges += ((bestLo, bestHi))
         }
       }
       i += step
@@ -269,6 +413,52 @@ object Fuzzy {
 
   // ------------------------------------------------------ token windows J6
 
+  /** Per-entity precomputed token state (token list + multiset counts) for
+    * the token matchers — hoisted so the distributed scans build it once per
+    * (partition, entity) instead of once per (segment, entity) call.
+    */
+  private[graft] final class TokenEntity(val entity: String) {
+    val toks: Vector[String] = Text.tokensWithPos(entity).map(_._1)
+    val counts: java.util.HashMap[String, Int] = {
+      val h = new java.util.HashMap[String, Int]()
+      toks.foreach(t => h.put(t, Option(h.get(t)).map(_.toInt).getOrElse(0) + 1))
+      h
+    }
+  }
+
+  /** Whole-text token histogram, built once per segment for the pair-level
+    * prefilter below. */
+  private[graft] def tokenCounts(toks: IndexedSeq[(String, Int, Int)])
+      : java.util.HashMap[String, Int] = {
+    val h = new java.util.HashMap[String, Int]()
+    toks.foreach { case (t, _, _) =>
+      h.put(t, Option(h.get(t)).map(_.toInt).getOrElse(0) + 1)
+    }
+    h
+  }
+
+  /** EXACT-output-preserving pair skip for the token matchers: a window's
+    * shared-token count (the matcher's quick gate) can never exceed the
+    * whole text's Σ_t min(entityCount(t), textCount(t)); when even that
+    * bound sits below ⌈threshold·n⌉ the matcher provably emits nothing, so
+    * the (text, entity) pair costs O(|entity tokens|) instead of a sliding
+    * counter pass over every text token. Applies to the windowed (GLiNER)
+    * form too — a window's token multiset is a sub-multiset of the text's.
+    */
+  private[graft] def tokenPairPossible(textCounts: java.util.HashMap[String, Int],
+      te: TokenEntity, threshold: Double): Boolean = {
+    val n = te.toks.length
+    if (n == 0) return false // matcher returns Nil for token-free entities
+    var m = 0
+    val it = te.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      // absent key null-unboxes to 0, which min() then zeroes out
+      m += math.min(e.getValue, textCounts.get(e.getKey))
+    }
+    m.toDouble / n >= threshold
+  }
+
   /** Token-window fuzzy search — faithful `find_token_sequence` +
     * `find_entity_spans_token_based` (check_token_based_match.py:22-58):
     * entity-token-count windows at EVERY start position (no skip after an
@@ -279,13 +469,25 @@ object Fuzzy {
     * share too few tokens cost O(1).
     */
   def tokenWindowMatches(text: String, entity: String,
-      threshold: Double = Config.TokenFuzzyThreshold): List[FuzzyMatch] = {
-    val toks = Text.tokensWithPos(text)
-    val eToks = Text.tokensWithPos(entity).map(_._1)
+      threshold: Double = Config.TokenFuzzyThreshold): List[FuzzyMatch] =
+    tokenWindowMatchesPre(Text.tokensWithPos(text), text, new TokenEntity(entity),
+      threshold)
+
+  /** [[tokenWindowMatches]] over pre-tokenized text and precomputed entity
+    * state — the distributed scans' form (text tokenization and the entity
+    * token multiset are entity- and segment-invariant respectively, so the
+    * per-call version recomputed both |entities| × |segments| times).
+    * `counts` is only read, never mutated, so one [[TokenEntity]] is safe
+    * to share across calls and threads after construction.
+    */
+  private[graft] def tokenWindowMatchesPre(toks: IndexedSeq[(String, Int, Int)],
+      text: String, te: TokenEntity,
+      threshold: Double): List[FuzzyMatch] = {
+    val entity = te.entity
+    val eToks = te.toks
     val n = eToks.length
     if (n == 0 || toks.length < n) return Nil
-    val eCounts = new java.util.HashMap[String, Int]()
-    eToks.foreach(t => eCounts.put(t, Option(eCounts.get(t)).map(_.toInt).getOrElse(0) + 1))
+    val eCounts = te.counts
     // sliding multiset-intersection counter: shared(i) = |window(i) ∩ eToks|
     val inWin = new java.util.HashMap[String, Int]()
     var shared = 0
@@ -352,10 +554,29 @@ object Fuzzy {
     * detections collapse to identical global offsets.
     */
   def windowedTokenScan(text: String, entity: String,
-      threshold: Double = Config.TokenFuzzyThreshold): List[FuzzyMatch] = {
-    val toks = Text.tokensWithPos(text).map(_._1)
-    val all = slidingWindows(toks).flatMap { case (wt, off) =>
-      tokenWindowMatches(wt, entity, threshold)
+      threshold: Double = Config.TokenFuzzyThreshold): List[FuzzyMatch] =
+    windowedTokenScanPre(
+      slidingWindowsPre(Text.tokensWithPos(text).map(_._1)),
+      new TokenEntity(entity), threshold)
+
+  /** [[slidingWindows]] plus each window's own tokenization — the windows
+    * and their token lists depend only on the TEXT, so the distributed scan
+    * computes them once per segment and reuses them for every entity (the
+    * per-call form re-built and re-tokenized every window per entity).
+    */
+  private[fuzzy] def slidingWindowsPre(tokens: IndexedSeq[String])
+      : Vector[(String, Int, Vector[(String, Int, Int)])] =
+    slidingWindows(tokens).map { case (wt, off) =>
+      (wt, off, Text.tokensWithPos(wt))
+    }
+
+  /** [[windowedTokenScan]] over precomputed windows — identical per-entity
+    * match → rebase → distinct → leftmost-longest pipeline. */
+  private[fuzzy] def windowedTokenScanPre(
+      wins: Vector[(String, Int, Vector[(String, Int, Int)])],
+      te: TokenEntity, threshold: Double): List[FuzzyMatch] = {
+    val all = wins.flatMap { case (wt, off, wtoks) =>
+      tokenWindowMatchesPre(wtoks, wt, te, threshold)
         .map(m => m.copy(start = m.start + off, end = m.end + off))
     }
     val unique = all.distinct.sortBy(m => (m.start, -(m.end - m.start)))
@@ -441,10 +662,18 @@ object Fuzzy {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(entities)
     segments.mapPartitions { it =>
-      val ents = bc.value
+      // per-partition entity state; per-segment window construction +
+      // tokenization — both were per (segment, entity) before
+      val ents = bc.value.map { case (s, l) => (s, l, new TokenEntity(s)) }
       it.flatMap { seg =>
-        ents.iterator.flatMap { case (surface, label) =>
-          windowedTokenScan(seg.text, surface, threshold).map(m =>
+        val toks = Text.tokensWithPos(seg.text)
+        val counts = tokenCounts(toks)
+        // windows built lazily: a segment all of whose entities fail the
+        // pair bound never pays window construction at all
+        lazy val wins = slidingWindowsPre(toks.map(_._1))
+        ents.iterator.flatMap { case (surface, label, te) =>
+          if (!tokenPairPossible(counts, te, threshold)) Nil
+          else windowedTokenScanPre(wins, te, threshold).map(m =>
             Mention(seg.url, seg.page, seg.seg_no, surface, label, m.start, m.end, m.score))
         }
       }
@@ -461,10 +690,15 @@ object Fuzzy {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(entities)
     segments.mapPartitions { it =>
-      val ents = bc.value
+      // per-partition entity state; per-segment text state (lowercase,
+      // whitespace/identity prefix sums, char histogram) — the multiset
+      // prefilter in charWindowMatchesPre then skips most (segment, entity)
+      // pairs in O(|alphabet|) instead of scanning every window
+      val ents = bc.value.map { case (s, l) => (s, l, new CharEntity(s)) }
       it.flatMap { seg =>
-        ents.iterator.flatMap { case (surface, label) =>
-          charWindowMatches(seg.text, surface, threshold).map(m =>
+        val ct = new CharText(seg.text)
+        ents.iterator.flatMap { case (surface, label, ce) =>
+          charWindowMatchesPre(ct, ce, threshold).map(m =>
             Mention(seg.url, seg.page, seg.seg_no, surface, label, m.start, m.end, m.score))
         }
       }
@@ -483,10 +717,15 @@ object Fuzzy {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(entities)
     segments.mapPartitions { it =>
-      val ents = bc.value
+      // per-partition entity token state; per-segment tokenization — both
+      // were recomputed per (segment, entity) call before
+      val ents = bc.value.map { case (s, l) => (s, l, new TokenEntity(s)) }
       it.flatMap { seg =>
-        ents.iterator.flatMap { case (surface, label) =>
-          tokenWindowMatches(seg.text, surface, threshold).map(m =>
+        val toks = Text.tokensWithPos(seg.text)
+        val counts = tokenCounts(toks)
+        ents.iterator.flatMap { case (surface, label, te) =>
+          if (!tokenPairPossible(counts, te, threshold)) Nil
+          else tokenWindowMatchesPre(toks, seg.text, te, threshold).map(m =>
             Mention(seg.url, seg.page, seg.seg_no, surface, label, m.start, m.end, m.score))
         }
       }

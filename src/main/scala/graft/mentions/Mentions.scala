@@ -76,13 +76,34 @@ object Mentions {
       val cands = segToks.iterator.map(_._1)
         .flatMap(t => tokenIndex.getOrElse(t, Nil)).toSet
       if (cands.isEmpty) Nil
-      else resolveOverlaps(cands.toList.sorted.flatMap { gi =>
-        graft.fuzzy.Fuzzy.tokenWindowMatches(seg.text, gaz(gi)._1, fuzzyThreshold)
-          .map(m => Mention(seg.url, seg.page, seg.seg_no,
-            gaz(gi)._1, gaz(gi)._2, m.start, m.end, m.score))
-      })
+      else {
+        // segment tokens are already in hand and the per-entity token state
+        // is executor-cached — the fuzzy recall pass re-tokenizes nothing;
+        // the pair bound skips candidates that share a token but provably
+        // too few of them to reach the threshold anywhere
+        val ents = cachedEntityToks(gaz)
+        val counts = graft.fuzzy.Fuzzy.tokenCounts(segToks)
+        resolveOverlaps(cands.toList.sorted.flatMap { gi =>
+          if (!graft.fuzzy.Fuzzy.tokenPairPossible(counts, ents(gi), fuzzyThreshold)) Nil
+          else graft.fuzzy.Fuzzy.tokenWindowMatchesPre(segToks, seg.text, ents(gi),
+              fuzzyThreshold)
+            .map(m => Mention(seg.url, seg.page, seg.seg_no,
+              gaz(gi)._1, gaz(gi)._2, m.start, m.end, m.score))
+        })
+      }
     }
   }
+
+  // Executor-local cache of per-entity token state (same discipline and
+  // rationale as cachedTokenIndex below): TokenEntity is read-only after
+  // construction, so sharing one instance across tasks/threads is safe.
+  private val entityToksCache =
+    new graft.util.ContentKeyedCache[Array[graft.fuzzy.Fuzzy.TokenEntity]]()
+
+  private[graft] def cachedEntityToks(
+      gaz: Array[(String, String)]): Array[graft.fuzzy.Fuzzy.TokenEntity] =
+    entityToksCache.get(gaz)(g => g.map { case (s, _) =>
+      new graft.fuzzy.Fuzzy.TokenEntity(s) })
 
   // Executor-local cache of the gazetteer token index (token → entity
   // indices): at a 100k-surface dimension the index is ~200k entries, and

@@ -63,10 +63,12 @@ object Pipeline {
     Option(canonMemo.remove(key)).foreach(_.unpersist())
   }
 
-  /** All triples: segment co-occurrence + canonical provenance. */
+  /** All triples: segment co-occurrence + canonical provenance. The scan
+    * output is segment-contiguous, so pairing runs shuffle-free
+    * ([[Relations.cooccurrenceContiguous]] — loud guard on violation). */
   def triples(spark: SparkSession, sfDir: String): Dataset[Triple] = {
     val ms = mentionsCached(spark, sfDir)
-    val cooc = Relations.cooccurrence(ms)
+    val cooc = Relations.cooccurrenceContiguous(ms)
     val prov = Relations.mentionedIn(ms, canonCached(spark, sfDir))
     cooc.unionByName(prov)
   }
@@ -81,7 +83,7 @@ object Pipeline {
   def triplesAmplified(spark: SparkSession, sfDir: String, factor: Int): Dataset[Triple] = {
     val pages = Pages.synthesizeAmplified(spark, sfDir, factor)
     val ms = Mentions.scanWithRecall(Extract.segments(pages), Gazetteer.all.toArray).cache()
-    val cooc = Relations.cooccurrence(ms)
+    val cooc = Relations.cooccurrenceContiguous(ms)
     val prov = Relations.mentionedIn(ms, Canon.canonicalMap(ms))
     cooc.unionByName(prov)
   }
@@ -121,7 +123,7 @@ object Pipeline {
     val pages = Pages.synthesizeAmplified(spark, sfDir, factor)
     val ms = Mentions.scanWithRecall(Extract.segments(pages), gazetteer).cache()
     try {
-      val cooc = Relations.cooccurrence(ms)
+      val cooc = Relations.cooccurrenceContiguous(ms)
       val prov = Relations.mentionedIn(ms, Canon.canonicalMap(ms))
       tripleChecksum(cooc.unionByName(prov).toDF())
     } finally ms.unpersist()

@@ -49,6 +49,56 @@ object Relations {
       .as[Triple]
   }
 
+  /** [[cooccurrence]] WITHOUT the per-segment shuffle, for mention datasets
+    * whose rows are segment-contiguous within partitions — the scan stages'
+    * natural output shape (each segment's mentions are emitted by one
+    * flatMap element, so they stay consecutive in one partition; cache()
+    * and deterministic recompute preserve that). Guide §2.4 "remove
+    * shuffles outright": the grouping the exchange existed to establish is
+    * already present in the data, the optimizer just cannot see it. Each
+    * consecutive same-key run pairs list-locally via [[coocLocal]] — the
+    * streaming flagship's pairing, spec-pinned equal to the grouped form —
+    * so the big-data path stays narrow end to end and the only remaining
+    * wide op in the flagship is the final aggregate.
+    *
+    * Safety: a per-partition set of closed segment keys turns an
+    * intra-partition contiguity violation (e.g. a shuffled or re-sorted
+    * mention table) into a LOUD error, never silently wrong triples. A
+    * pathological repartition that splits one segment's rows ACROSS
+    * partitions without intra-partition repeats is not detectable here and
+    * remains the caller's contract — callers in this repo all consume the
+    * scan output directly, and RelationsSpec pins equality with
+    * [[cooccurrence]] on the live corpus.
+    */
+  def cooccurrenceContiguous(mentions: Dataset[Mention]): Dataset[Triple] = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    mentions.mapPartitions { it =>
+      val buf = it.buffered
+      val closed = new java.util.HashSet[(String, Int, Int)]()
+      new Iterator[Triple] {
+        private var out: Iterator[Triple] = Iterator.empty
+        private def advance(): Unit = {
+          while (!out.hasNext && buf.hasNext) {
+            val key = { val m = buf.head; (m.url, m.page, m.seg_no) }
+            if (!closed.add(key))
+              throw new IllegalStateException(
+                s"cooccurrenceContiguous: segment $key reappeared after its " +
+                  "group closed — input is not segment-contiguous; use cooccurrence")
+            val group = scala.collection.mutable.ListBuffer.empty[Mention]
+            while (buf.hasNext && {
+              val m = buf.head
+              m.url == key._1 && m.page == key._2 && m.seg_no == key._3
+            }) group += buf.next()
+            out = coocLocal(group.toList, key._1).iterator
+          }
+        }
+        def hasNext: Boolean = { advance(); out.hasNext }
+        def next(): Triple = { advance(); out.next() }
+      }
+    }
+  }
+
   /** List-local form of [[cooccurrence]] for ONE segment's mentions: the
     * same distinct-(label, surface) → per-rule subjects × objects pairing,
     * but computed group-locally with no shuffle. Used by the streaming

@@ -120,10 +120,12 @@ object Recanon {
     if (candidates.isEmpty)
       return CompactionReport(-1L, Nil, 0L, 0L)
 
-    def markCurrent(batches: Seq[Long]): Unit = batches.foreach { b =>
-      Seq((b, freshFp)).toDF("batch_id", "alias_fp")
-        .write.mode("overwrite").parquet(s"$outDir/_alias/batch-$b")
-    }
+    // Per-batch one-row watermark writes are independent — fan out (§2.6)
+    def markCurrent(batches: Seq[Long]): Unit =
+      graft.util.Par.run(batches) { b =>
+        Seq((b, freshFp)).toDF("batch_id", "alias_fp")
+          .write.mode("overwrite").parquet(s"$outDir/_alias/batch-$b")
+      }
 
     // Stale detection, restricted to the candidate batches (partition
     // pruning on batch_id): provenance slice × alias dimension, left join
@@ -207,7 +209,10 @@ object Recanon {
         }
       }
       val nanos = System.nanoTime() - t0
-      staleBatches.foreach { b =>
+      // independent per-batch metadata refreshes — fan out (§2.6); the
+      // phase ORDER (data → sidecars → compaction record → watermark) is
+      // unchanged, so the crash-window story is identical
+      graft.util.Par.run(staleBatches) { b =>
         writeBatchSidecars(spark, outDir, b,
           byBatch.getOrElse(b, Array.empty[(Long, Int, Long)])
             .map { case (_, k, n) => (k, n) }.toSeq, "stream_recanon")
@@ -251,7 +256,7 @@ object Recanon {
       .groupBy(col("batch_id").cast("long").as("b"), col("bucket").cast("int").as("k"))
       .agg(count(lit(1)).as("n"))
       .as[(Long, Int, Long)].collect()
-    counts.groupBy(_._1).foreach { case (b, rows) =>
+    graft.util.Par.run(counts.groupBy(_._1).toSeq) { case (b, rows) =>
       writeBatchSidecars(spark, outDir, b,
         rows.map { case (_, k, n) => (k, n) }.toSeq, "sidecar_repair")
     }

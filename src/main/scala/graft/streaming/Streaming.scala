@@ -273,25 +273,35 @@ object Streaming {
     // Long batch_id column, and a hive dir of the same name would shadow it
     // with an inferred partition column on read. Readers use a one-level
     // glob over the batch dirs.
-    val rows = Materialize.bucketCounts(observed, nBuckets)
-      .map { case (b, n) => Materialize.LineageRow("stream_triples", b, batchId, n) }
-    if (rows.nonEmpty)
-      rows.toDS().toDF().write.mode("overwrite")
-        .parquet(s"$outDir/_lineage/batch-$batchId")
-    else
-      // A replayed batch can legitimately shrink to zero rows (at-least-once
-      // recovery after the inputs' effective content changed); truncating
-      // the batch's lineage dir keeps the idempotency contract — a stale
-      // non-empty lineage from the failed attempt must not survive. LOUD
-      // and through the sink's Hadoop FS (works on object-store sinks).
-      graft.util.SinkFs.deleteLoud(spark, s"$outDir/_lineage/batch-$batchId")
+    //
+    // The three sidecar writes are INDEPENDENT one-row/one-dir metadata ops
+    // dominated by per-job scheduling latency — they fan out concurrently
+    // (guide §2.6; Par.run) instead of paying three serial round-trips per
+    // micro-batch. Idempotency is untouched: each write is still a
+    // batch-scoped OVERWRITE, and a crash mid-fan-out leaves the same
+    // partial-sidecar states a serial crash could.
+    val total = observed.get("total") match { case Some(n: Long) => n; case _ => 0L }
+    val writeLineage: () => Unit = () => {
+      val rows = Materialize.bucketCounts(observed, nBuckets)
+        .map { case (b, n) => Materialize.LineageRow("stream_triples", b, batchId, n) }
+      if (rows.nonEmpty)
+        rows.toDS().toDF().write.mode("overwrite")
+          .parquet(s"$outDir/_lineage/batch-$batchId")
+      else
+        // A replayed batch can legitimately shrink to zero rows (at-least-once
+        // recovery after the inputs' effective content changed); truncating
+        // the batch's lineage dir keeps the idempotency contract — a stale
+        // non-empty lineage from the failed attempt must not survive. LOUD
+        // and through the sink's Hadoop FS (works on object-store sinks).
+        graft.util.SinkFs.deleteLoud(spark, s"$outDir/_lineage/batch-$batchId")
+    }
     // The metrics row is written for EVERY batch (empty ones included) so
     // the sidecar exists whenever at least one micro-batch committed; the
     // sink passes rows through, hence rows_in == rows_out (StreamMetricRow).
-    val total = observed.get("total") match { case Some(n: Long) => n; case _ => 0L }
-    Seq(graft.model.StreamMetricRow("stream_ingest", batchId, total, total,
-      System.nanoTime() - t0)).toDS().toDF()
-      .write.mode("overwrite").parquet(s"$outDir/_metrics/batch-$batchId")
+    val writeMetrics: () => Unit = () =>
+      Seq(graft.model.StreamMetricRow("stream_ingest", batchId, total, total,
+        System.nanoTime() - t0)).toDS().toDF()
+        .write.mode("overwrite").parquet(s"$outDir/_metrics/batch-$batchId")
     // Alias-version watermark: record WHICH alias map this batch's
     // provenance reflects (Canon.aliasFingerprint of the drain snapshot) so
     // Recanon can skip the staleness scan of batches already current under
@@ -301,13 +311,14 @@ object Streaming {
     // nothing: the batch stays a permanent scan candidate, which is the
     // safe direction. Overwrite/delete keeps the at-least-once replay
     // contract, same as the other two sidecars.
-    aliasFp match {
+    val writeAlias: () => Unit = () => aliasFp match {
       case Some(f) =>
         Seq((batchId, f)).toDF("batch_id", "alias_fp")
           .write.mode("overwrite").parquet(s"$outDir/_alias/batch-$batchId")
       case None =>
         graft.util.SinkFs.deleteLoud(spark, s"$outDir/_alias/batch-$batchId")
     }
+    graft.util.Par.run(Seq(writeLineage, writeMetrics, writeAlias))(_.apply())
   }
 
   /** [[runTriplesStreamOnce]] with the materialized sink: same AvailableNow

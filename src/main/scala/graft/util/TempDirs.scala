@@ -21,9 +21,33 @@ object TempDirs {
       while (p != null) { delete(p); p = registered.poll() }
     }))
 
+  /** Base directory for scratch: `-Dgraft.scratch.dir` wins; otherwise
+    * /dev/shm when it is a roomy tmpfs (same ≥12 GB usable gate as
+    * build.sbt's spark.local.dir choice — scratch sinks/feeds/checkpoints
+    * then avoid block-device latency and fsync jitter, which showed up as
+    * per-micro-batch commit-log stalls in the streaming queries); else
+    * java.io.tmpdir. Evaluated once per JVM.
+    */
+  private lazy val base: Option[Path] = {
+    val configured = sys.props.get("graft.scratch.dir").map(java.nio.file.Paths.get(_))
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val pick = configured.orElse {
+      if (Files.isDirectory(shm) && shm.toFile.getUsableSpace > 12L * 1024 * 1024 * 1024)
+        Some(shm.resolve("graft-scratch"))
+      else None
+    }
+    pick.flatMap { p =>
+      try { Files.createDirectories(p); Some(p) }
+      catch { case _: IOException => None } // unwritable: fall back to tmpdir
+    }
+  }
+
   def scratch(prefix: String): Path = {
     hookInstalled
-    val p = Files.createTempDirectory(prefix)
+    val p = base match {
+      case Some(b) => Files.createTempDirectory(b, prefix)
+      case None => Files.createTempDirectory(prefix)
+    }
     registered.add(p)
     p
   }

@@ -115,6 +115,29 @@ class CanonSpec extends SparkSpec {
     assert(rounds <= 20, s"chain took $rounds rounds — not O(log n)")
   }
 
+  test("RDD round loop ≡ DataFrame round loop ≡ local union-find (forced branches)") {
+    import spark.implicits._
+    // chain ∪ star ∪ isolated vertex — exercises multi-round convergence,
+    // the hub path of the DF branch, and the left-join default label.
+    // bcastBound picks the round implementation: default → RDD rounds,
+    // 0 → DataFrame hub-split rounds; localThreshold default → union-find.
+    val chain = (1 until 40).map(i => (f"c${i - 1}%03d", f"c$i%03d"))
+    val star = (0 until 200).map(i => ("hub", f"s$i%04d"))
+    val verts = ((0 until 40).map(i => f"c$i%03d") ++
+      star.map(_._2) :+ "hub" :+ "lonely").toDF("surface")
+    val edges = (chain ++ star).toDF("a", "b")
+    def run(bound: Long): Map[String, String] =
+      Canon.connectedComponentsWithRounds(verts, edges, localThreshold = 0,
+          hubDegree = 50, bcastBound = bound)
+        ._1.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val rdd = run(1000000L)
+    val df = run(0L)
+    val local = Canon.connectedComponents(verts, edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rdd == local, "RDD round branch diverged from local union-find")
+    assert(df == local, "DataFrame round branch diverged from local union-find")
+  }
+
   test("CC fails loudly (not silently wrong) when maxIter is exhausted") {
     import spark.implicits._
     // A 64-vertex chain needs several alternating rounds; maxIter=1 cannot

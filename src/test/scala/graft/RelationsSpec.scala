@@ -24,6 +24,31 @@ class RelationsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("cooccurrenceContiguous ≡ cooccurrence on the live scan output") {
+    val ms = Pipeline.mentions(spark, sfTiny)
+    val grouped = graft.relations.Relations.cooccurrence(ms)
+      .collect().map(t => (t.subj, t.pred, t.obj, t.url, t.score)).sorted.toSeq
+    val contiguous = graft.relations.Relations.cooccurrenceContiguous(ms)
+      .collect().map(t => (t.subj, t.pred, t.obj, t.url, t.score)).sorted.toSeq
+    assert(contiguous == grouped)
+  }
+
+  test("cooccurrenceContiguous fails loudly on non-contiguous input (never wrong triples)") {
+    import spark.implicits._
+    import graft.model.Mention
+    // two interleaved segments in ONE partition: key A, key B, key A again
+    val ms = Seq(
+      Mention("u1", 1, 1, "Ada Person", "PERSON", 0, 10, 1.0),
+      Mention("u1", 1, 2, "Some Org", "ORG", 0, 8, 1.0),
+      Mention("u1", 1, 1, "Acme Law", "LAW", 20, 28, 1.0)
+    ).toDS().coalesce(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.relations.Relations.cooccurrenceContiguous(ms).collect()
+    }
+    assert(e.getMessage.contains("not segment-contiguous") ||
+      Option(e.getCause).exists(_.getMessage.contains("not segment-contiguous")))
+  }
+
   test("flagship entry() returns triples on sf0.001") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
