@@ -356,7 +356,9 @@ object SparkEntry {
       val newDocs = Dedup.exactIncrementalNew(index, delta)
       val viaFold = folded.join(index.select(col("h")), Seq("h"), "left_anti")
         .select(col("h"), col("keeper").as("doc_id"))
-      require(newDocs.exceptAll(viaFold).isEmpty && viaFold.exceptAll(newDocs).isEmpty,
+      // same multiset-equality rider as before, as ONE action: the union of
+      // both exceptAll directions is empty iff each direction is
+      require(newDocs.exceptAll(viaFold).union(viaFold.exceptAll(newDocs)).isEmpty,
         "incremental new-docs view must be exactly the folded hashes absent from the index")
       folded
     }),

@@ -91,6 +91,25 @@ object Dedup {
       )).as("s"))
       .distinct()
 
+  /** [[shingles]] with each shingle collapsed to its 64-bit xxhash64
+    * fingerprint inside the generating pass ([[WordShingleHashes]]) — the
+    * key every Jaccard-path exchange and join then moves as an 8-byte long
+    * instead of a ~40-byte string (guide §2.3 "narrower types"), and the
+    * distinct aggregate hashes longs instead of strings. Jaccard arithmetic
+    * is unchanged unless two DISTINCT corpus shingles collide in 64 bits
+    * (birthday bound ≈ n²/2⁶⁵ ≈ 10⁻⁷ at the ~3M-shingle bench corpus; the
+    * driver's DuckDB gate hash-matches all SFs, and 64-bit shingle
+    * fingerprints are the standard construction for web-scale dedup).
+    * The MinHash SIGNATURE path keeps string shingles — its md5 family is
+    * oracle-mirrored — but its verify stage shares this key.
+    */
+  def shingleHashes(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id"), explode(org.apache.spark.sql.graft.Bridge.column(
+        WordShingleHashes(org.apache.spark.sql.graft.Bridge.expression(col("text")), ShingleN)
+      )).as("s"))
+      .distinct()
+
   /** Exact-Jaccard verification DRIVEN BY the candidate set: intersection
     * counts come from cand ⋈ shingles(a) ⋈ shingles(b) — cost linear in
     * |candidates| × shingles-per-doc. (Round 1 enumerated ALL pairs sharing
@@ -130,7 +149,7 @@ object Dedup {
     * Integer outputs (inter, na, nb) keep the oracle compare float-free.
     */
   def ngramJaccard(corpus: DataFrame, maxDf: Long = Config.MaxShingleDf): DataFrame = {
-    val sh = informativeShingles(shingles(corpus), maxDf)
+    val sh = informativeShingles(shingleHashes(corpus), maxDf)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("a"), col("s"))
       .join(sh.select(col("doc_id").as("b"), col("s")), Seq("s"))
@@ -189,10 +208,17 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash LSH near-dup: banded candidates verified with exact Jaccard. */
+  /** MinHash LSH near-dup: banded candidates verified with exact Jaccard.
+    * Signatures/bands run over string shingles (the md5 family is
+    * oracle-mirrored); verification joins/counts over the 64-bit shingle
+    * fingerprints derived from the SAME distinct set, so the candidate
+    * pipeline and the verify pipeline agree on the shingle universe while
+    * the verify exchanges move longs.
+    */
   def minhashLsh(corpus: DataFrame, hashFn: String = Config.MinHashFn): DataFrame = {
     val sh = shingles(corpus)
-    jaccardVerify(sh, minhashCandidates(sh, hashFn))
+    jaccardVerify(sh.select(col("doc_id"), xxhash64(col("s")).as("s")),
+      minhashCandidates(sh, hashFn))
   }
 
   /** SimHash (64-bit) per doc over the distinct-token set: bit b of a token

@@ -3,7 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static eval target for [[WordShingles]] / [[SimHash64]] — shared by the
@@ -90,6 +90,40 @@ object DedupOps {
     }
     new GenericArrayData(out)
   }
+
+  /** [[wordShingles]] collapsed to 64-bit fingerprints in place: each
+    * shingle is hashed DIRECTLY from the UTF-8 byte range of the document
+    * (xxhash64 with Spark's seed 42, so the value equals
+    * `xxhash64(<shingle string>)`) — zero per-shingle string allocation.
+    * Byte-offset token scanning is safe because ' ' (0x20) never occurs
+    * inside a UTF-8 multi-byte sequence.
+    */
+  def wordShingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val nBytes = text.numBytes
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var nTokens = 1
+    var i = 0
+    while (i < nBytes) { if (text.getByte(i) == ' '.toByte) nTokens += 1; i += 1 }
+    if (nTokens < n) return Empty
+    val starts = new Array[Int](nTokens)
+    var t = 1
+    i = 0
+    while (i < nBytes) {
+      if (text.getByte(i) == ' '.toByte) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    val out = new Array[Any](nTokens - n + 1)
+    i = 0
+    while (i <= nTokens - n) {
+      val end = if (i + n < nTokens) starts(i + n) - 1 else nBytes
+      out(i) = java.lang.Long.valueOf(
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          base, off + starts(i), end - starts(i), 42L))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `word_shingles(text) → array<string>`: every word n-gram of a
@@ -127,6 +161,24 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   * the distinct-token set is document-local by definition, so the aggregate
   * never needed to leave the row.
   */
+/** `word_shingle_hashes(text) → array<long>`: [[WordShingles]] with every
+  * shingle collapsed to its xxhash64 fingerprint inside the same pass —
+  * the shingle key the Jaccard dedup paths join and aggregate on (guide
+  * §2.3 "narrower types": 8-byte longs through every exchange instead of
+  * ~40-byte shingle strings, and no per-shingle string allocation on the
+  * map side). Values equal `xxhash64(shingle)` so tests can cross-check
+  * against the string form.
+  */
+case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(text: Any): Any =
+    DedupOps.wordShingleHashes(text.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.dedup.DedupOps.wordShingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullSafeEval(text: Any): Any =

@@ -223,6 +223,9 @@ final class MediaEncoder {
 
   // GIF sequence writer reused across rows (codec init amortized per
   // partition); PNG goes through the static ImageIO.write fast path.
+  // (A reused PNG writer with explicit deflate-effort control was measured
+  // in the optimization round and did NOT beat ImageIO.write on the
+  // pseudo-random planted rasters — reverted.)
   private val gifWriter = ImageIO.getImageWritersByFormatName("gif").next()
 
   private def frame(id: Long, w: Int, h: Int, seed: Int): BufferedImage = {

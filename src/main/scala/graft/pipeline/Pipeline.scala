@@ -64,12 +64,19 @@ object Pipeline {
   }
 
   /** All triples: segment co-occurrence + canonical provenance. The scan
-    * output is segment-contiguous, so pairing runs shuffle-free
-    * ([[Relations.cooccurrenceContiguous]] — loud guard on violation). */
+    * output is segment- and url-contiguous, so BOTH legs run shuffle-free
+    * over the cached mentions when the alias dimension fits the driver
+    * ([[Relations.cooccurrenceContiguous]] / [[Relations.mentionedInContiguous]]
+    * — loud guards on violation; the oversized-dimension branch keeps the
+    * broadcast-join + distinct form). */
   def triples(spark: SparkSession, sfDir: String): Dataset[Triple] = {
     val ms = mentionsCached(spark, sfDir)
     val cooc = Relations.cooccurrenceContiguous(ms)
-    val prov = Relations.mentionedIn(ms, canonCached(spark, sfDir))
+    val canonDf = canonCached(spark, sfDir)
+    val prov = Canon.snapshotBounded(canonDf) match {
+      case Canon.AliasMap(m, _) => Relations.mentionedInContiguous(ms, m)
+      case _ => Relations.mentionedIn(ms, canonDf)
+    }
     cooc.unionByName(prov)
   }
 
@@ -84,7 +91,11 @@ object Pipeline {
     val pages = Pages.synthesizeAmplified(spark, sfDir, factor)
     val ms = Mentions.scanWithRecall(Extract.segments(pages), Gazetteer.all.toArray).cache()
     val cooc = Relations.cooccurrenceContiguous(ms)
-    val prov = Relations.mentionedIn(ms, Canon.canonicalMap(ms))
+    val canonDf = Canon.canonicalMap(ms)
+    val prov = Canon.snapshotBounded(canonDf) match {
+      case Canon.AliasMap(m, _) => Relations.mentionedInContiguous(ms, m)
+      case _ => Relations.mentionedIn(ms, canonDf)
+    }
     cooc.unionByName(prov)
   }
 
@@ -124,7 +135,11 @@ object Pipeline {
     val ms = Mentions.scanWithRecall(Extract.segments(pages), gazetteer).cache()
     try {
       val cooc = Relations.cooccurrenceContiguous(ms)
-      val prov = Relations.mentionedIn(ms, Canon.canonicalMap(ms))
+      val canonDf = Canon.canonicalMap(ms)
+      val prov = Canon.snapshotBounded(canonDf) match {
+        case Canon.AliasMap(m, _) => Relations.mentionedInContiguous(ms, m)
+        case _ => Relations.mentionedIn(ms, canonDf)
+      }
       tripleChecksum(cooc.unionByName(prov).toDF())
     } finally ms.unpersist()
   }

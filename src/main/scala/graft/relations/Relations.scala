@@ -182,6 +182,46 @@ object Relations {
     }
   }
 
+  /** [[mentionedIn]] WITHOUT the distinct shuffle, for mention datasets
+    * whose rows are url-contiguous within partitions (the scan stages'
+    * natural output: all of a page's segments — hence all its mentions —
+    * come from one flatMap element) and an alias map that fits the driver
+    * (the [[graft.canon.Canon.AliasMap]] shape). Per consecutive same-url
+    * run the rewrite + dedup is [[provLocal]] — the streaming flagship's
+    * exact provenance op, valid because urls are unique per feed/corpus so
+    * page-local distinct equals the global distinct. Same loud-guard
+    * discipline as [[cooccurrenceContiguous]]: a url reappearing after its
+    * run closed throws, never silently duplicates provenance.
+    */
+  def mentionedInContiguous(mentions: Dataset[Mention],
+      canon: Map[String, String]): Dataset[Triple] = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(canon)
+    mentions.mapPartitions { it =>
+      val cm = bc.value
+      val buf = it.buffered
+      val closed = new java.util.HashSet[String]()
+      new Iterator[Triple] {
+        private var out: Iterator[Triple] = Iterator.empty
+        private def advance(): Unit = {
+          while (!out.hasNext && buf.hasNext) {
+            val url = buf.head.url
+            if (!closed.add(url))
+              throw new IllegalStateException(
+                s"mentionedInContiguous: url $url reappeared after its run " +
+                  "closed — input is not url-contiguous; use mentionedIn")
+            val group = scala.collection.mutable.ListBuffer.empty[Mention]
+            while (buf.hasNext && buf.head.url == url) group += buf.next()
+            out = provLocal(group.toList, url, cm).iterator
+          }
+        }
+        def hasNext: Boolean = { advance(); out.hasNext }
+        def next(): Triple = { advance(); out.next() }
+      }
+    }
+  }
+
   /** Provenance triples (canonical_entity, mentioned_in, url) — subjects
     * rewritten through the canonicalization alias map (broadcast: the map is
     * dimension-sized) then deduplicated per url.

@@ -145,6 +145,26 @@ class DedupSpec extends SparkSpec {
     assert(native.exists(_._2 == "a b  c d"), "adjacent-space shingle must keep the empty token's separators")
   }
 
+  test("native shingle-hash expression equals xxhash64 over the string shingles") {
+    // WordShingleHashes fingerprints each shingle in place (byte-range
+    // xxhash64, seed 42) — must equal hashing the string form's output,
+    // including on multibyte text and empty-token separators.
+    import spark.implicits._
+    val rows = Seq(
+      "a b c d e f", "a b c d e", "a b c d", "",
+      " a b c d e", "a b  c d e f", "a b c d e ",
+      "é ü ñ 漢 字 x y"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("doc_id", "text")
+    val native = Dedup.shingleHashes(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaStrings = Dedup.shingles(df)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native == viaStrings)
+    assert(native.nonEmpty)
+  }
+
   test("native simhash fingerprint matches the explode/distinct/sum aggregate form on adversarial strings") {
     // SimHash64 replaced the aggregate form for performance; this pins the
     // md5-bit arithmetic (bit b = bit 3−b%4 of hex digit b/4) and the

@@ -49,6 +49,33 @@ class RelationsSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("not segment-contiguous")))
   }
 
+  test("mentionedInContiguous ≡ mentionedIn on the live scan output") {
+    val ms = Pipeline.mentionsCached(spark, sfTiny)
+    val canonDf = Pipeline.canonCached(spark, sfTiny)
+    val joined = graft.relations.Relations.mentionedIn(ms, canonDf)
+      .collect().map(t => (t.subj, t.pred, t.obj, t.url, t.score)).sorted.toSeq
+    val contiguous = graft.relations.Relations.mentionedInContiguous(
+        ms, graft.canon.Canon.snapshot(canonDf))
+      .collect().map(t => (t.subj, t.pred, t.obj, t.url, t.score)).sorted.toSeq
+    assert(contiguous == joined)
+  }
+
+  test("mentionedInContiguous fails loudly on non-url-contiguous input") {
+    import spark.implicits._
+    import graft.model.Mention
+    val ms = Seq(
+      Mention("u1", 1, 1, "Ada Person", "PERSON", 0, 10, 1.0),
+      Mention("u2", 1, 1, "Ada Person", "PERSON", 0, 10, 1.0),
+      Mention("u1", 1, 2, "Ada Person", "PERSON", 5, 15, 1.0)
+    ).toDS().coalesce(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.relations.Relations.mentionedInContiguous(
+        ms, Map("Ada Person" -> "Ada Person")).collect()
+    }
+    assert(e.getMessage.contains("not url-contiguous") ||
+      Option(e.getCause).exists(_.getMessage.contains("not url-contiguous")))
+  }
+
   test("flagship entry() returns triples on sf0.001") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
