@@ -18,6 +18,32 @@ object DedupOps {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  // Executor-wide memo of a token's SimHash contribution (the first 8 md5
+  // bytes packed big-endian — the only part [[simhash64]] reads): natural-
+  // language tokens repeat heavily across documents, so most per-token md5
+  // work is recomputation. Size-bounded (~4M entries ≈ low hundreds of MB
+  // worst case) — past the cap new tokens are computed but not stored, so
+  // a pathological vocabulary degrades to the uncached cost, never OOM.
+  // Pure memoization: the cached value is a deterministic function of the
+  // token, so results are bit-identical with or without hits.
+  private val tokenBits = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val TokenBitsCap = 1 << 22
+
+  @inline private def md5Bits(tok: String): Long = {
+    val cached = tokenBits.get(tok)
+    if (cached != null) cached.longValue()
+    else {
+      val md = threadMd5.get()
+      md.reset()
+      val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var bits = 0L
+      var i = 0
+      while (i < 8) { bits = (bits << 8) | (d(i) & 0xffL); i += 1 }
+      if (tokenBits.size < TokenBitsCap) tokenBits.put(tok, bits)
+      bits
+    }
+  }
+
   /** 64-bit SimHash of `text` as a 64-char bit string, in one pass: split on
     * single spaces (keep-trailing semantics, as [[wordShingles]]), dedupe
     * tokens, and for each DISTINCT token add ±1 per bit of the first 8 bytes
@@ -31,18 +57,18 @@ object DedupOps {
     val len = s.length
     val seen = new java.util.HashSet[String]()
     val sums = new Array[Int](64)
-    val md = threadMd5.get()
     var start = 0
     var i = 0
     while (i <= len) {
       if (i == len || s.charAt(i) == ' ') {
         val tok = s.substring(start, i)
         if (seen.add(tok)) {
-          md.reset()
-          val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // bit b of the fingerprint = bit (7 − b%8) of digest byte b/8 =
+          // bit (63 − b) of the big-endian-packed first 8 bytes (md5Bits)
+          val bits = md5Bits(tok)
           var b = 0
           while (b < 64) {
-            sums(b) += (((d(b >>> 3) >>> (7 - (b & 7))) & 1) << 1) - 1
+            sums(b) += ((((bits >>> (63 - b)) & 1L).toInt) << 1) - 1
             b += 1
           }
         }

@@ -13,8 +13,11 @@ import scala.collection.mutable
   * [[AhoCorasick.cached]]), then each text scan is O(text + matches).
   */
 final class AhoCorasick private (patterns: Array[String]) {
-  // Node storage: growable arrays; children as per-node HashMap (pattern set
-  // is a dimension table — thousands at most — so build memory is trivial).
+  // Build-time node storage: growable arrays; children as per-node HashMap
+  // (pattern set is a dimension table — thousands at most — so build memory
+  // is trivial). After the BFS the trie is FROZEN into primitive arrays for
+  // the scan loop (below): the per-char HashMap lookup boxed every text
+  // char and was the single hottest call of the flagship's scan stage.
   private val children = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
   private val fail = mutable.ArrayBuffer(0)
   private val out = mutable.ArrayBuffer[List[Int]](Nil)
@@ -53,6 +56,42 @@ final class AhoCorasick private (patterns: Array[String]) {
     }
   }
 
+  // ---- frozen scan-time representation (same automaton, no boxing) ------
+  // Root transitions as a direct char-indexed table (most scan positions
+  // sit at the root — a text char that starts no pattern costs ONE array
+  // read); inner nodes keep (sorted-char, target) parallel arrays with a
+  // linear probe over their tiny fanout. -1 = no transition.
+  private val rootNext: Array[Int] = {
+    val a = Array.fill(Char.MaxValue + 1)(-1)
+    children(0).foreach { case (c, v) => a(c) = v }
+    a
+  }
+  private val childChars: Array[Array[Char]] = children.map { m =>
+    m.keysIterator.toArray.sorted
+  }.toArray
+  private val childTargets: Array[Array[Int]] = children.zipWithIndex.map {
+    case (m, i) => childChars(i).map(m)
+  }.toArray
+  private val failA: Array[Int] = fail.toArray
+  private val outA: Array[Array[Int]] = out.map(_.toArray).toArray
+  private val patLen: Array[Int] = patterns.map(_.length)
+  private val nNodes: Int = children.length
+  locally {
+    // the frozen arrays fully replace the build-time structures — release
+    // them so a cached 100k-surface automaton holds primitive arrays, not
+    // a HashMap per node
+    children.clear(); fail.clear(); out.clear()
+  }
+
+  @inline private def transition(node: Int, c: Char): Int =
+    if (node == 0) rootNext(c)
+    else {
+      val cs = childChars(node)
+      var j = 0
+      while (j < cs.length && cs(j) != c) j += 1
+      if (j < cs.length) childTargets(node)(j) else -1
+    }
+
   /** All matches as (patternIndex, start, endExclusive). `wordBounds`
     * requires non-word chars (or string edges) around the match, so
     * "Article 12" does not fire inside "Article 128".
@@ -61,17 +100,24 @@ final class AhoCorasick private (patterns: Array[String]) {
     var acc: List[(Int, Int, Int)] = Nil
     var node = 0
     var i = 0
-    while (i < text.length) {
+    val n = text.length
+    while (i < n) {
       val c = text.charAt(i)
-      while (node != 0 && !children(node).contains(c)) node = fail(node)
-      node = children(node).getOrElse(c, 0)
-      var hits = out(node)
-      while (hits.nonEmpty) {
-        val p = hits.head
-        val start = i + 1 - patterns(p).length
-        if (!wordBounds || (boundaryBefore(text, start) && boundaryAfter(text, i + 1)))
-          acc = (p, start, i + 1) :: acc
-        hits = hits.tail
+      // identical automaton semantics to the HashMap form: follow failure
+      // links until a transition exists or the root rejects
+      var next = transition(node, c)
+      while (next < 0 && node != 0) { node = failA(node); next = transition(node, c) }
+      node = if (next < 0) 0 else next
+      val hits = outA(node)
+      if (hits.length != 0) {
+        var h = 0
+        while (h < hits.length) {
+          val p = hits(h)
+          val start = i + 1 - patLen(p)
+          if (!wordBounds || (boundaryBefore(text, start) && boundaryAfter(text, i + 1)))
+            acc = (p, start, i + 1) :: acc
+          h += 1
+        }
       }
       i += 1
     }
@@ -82,7 +128,7 @@ final class AhoCorasick private (patterns: Array[String]) {
     * Σ|pattern| + 1 (each pattern char creates at most one node), which
     * GazetteerScaleSpec asserts at the 100k-surface dimension.
     */
-  def nodeCount: Int = children.length
+  def nodeCount: Int = nNodes
 
   @inline private def boundaryBefore(t: String, start: Int): Boolean =
     start == 0 || !Character.isLetterOrDigit(t.charAt(start - 1))

@@ -259,10 +259,21 @@ object Streaming {
     // bucket-predicate bug (e.g. rows whose bucket expression is null land
     // in no sum) shows up as lineage != metrics downstream.
     val aggs = count(lit(1)).as("total") +: Materialize.bucketAggs(nBuckets)
-    batch.toDF()
+    val observed0 = batch.toDF()
       .withColumn("bucket", bucketOf(nBuckets))
       .observe(obs, aggs.head, aggs.tail: _*)
-      .repartition(col("bucket"))
+    // Bucket-clustering exchange only when the micro-batch arrives WIDE:
+    // a batch of ≤ nBuckets input partitions writes at most parts×buckets
+    // (≈ buckets²) part files without it — modest — while the exchange's
+    // fixed per-batch stage cost dominates at micro-batch sizes. Wide
+    // batches keep the one-file-per-bucket clustering. Derived from the
+    // batch's own partition count, not a tuned constant; sink contents and
+    // lineage accounting are identical either way (observe rides the same
+    // rows; partitionBy lays out the same bucket dirs).
+    val clustered =
+      if (batch.rdd.getNumPartitions > nBuckets) observed0.repartition(col("bucket"))
+      else observed0
+    clustered
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$outDir/triples/batch_id=$batchId")
     val observed = obs.get
