@@ -215,8 +215,9 @@ object SparkEntry {
     "q_tokens" -> ((s, dir) => {
       import s.implicits._
       graft.verify.CorpusAsserts.assertPlantSafe(s, dir)
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id").cast("long"), col("text"))
+      graft.util.Reads.spread(s,
+          s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id").cast("long"), col("text")))
         .as[(Long, String)]
         .flatMap { case (id, t) =>
           graft.functions.Text.tokensWithPos(graft.functions.Text.normWs(t))

@@ -33,7 +33,11 @@ object Dedup {
         expr("substring(text, 1, (length(text)*9) div 10)").as("text"))
     val exact = norm.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-    norm.unionByName(near).unionByName(exact)
+    // every dedup operator runs its expensive per-document map work
+    // (shingling, 12-seed MinHash md5, SimHash) in the scan stage, and this
+    // small corpus arrives as ONE SPLIT PER UNION LEG — measured 3 tasks
+    // carrying a 1.2 s MinHash map stage at local[32]
+    graft.util.Reads.spread(spark, norm.unionByName(near).unionByName(exact))
   }
 
   /** Exact dedup: content-hash groupBy. (hash, n_docs, keeper=min id). */
@@ -324,7 +328,7 @@ object Dedup {
     val variant = base.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"),
         expr("concat(array(element_at(v, 1) + 0.01d), slice(v, 2, size(v) - 1))").as("v"))
-    base.unionByName(variant)
+    graft.util.Reads.spread(spark, base.unionByName(variant))
   }
 
   /** Cosine similarity between two double-array columns as a codegen'd

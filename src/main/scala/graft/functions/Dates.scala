@@ -160,9 +160,12 @@ object Dates {
     val st2 = F.when(same, st1).otherwise(((id + 1) % 4).cast("int"))
     val invalid = F.when(id % 9 === 0,
       F.concat(F.lit(" Due 30 February "), y1.cast("string"), F.lit("."))).otherwise(F.lit(""))
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(id, F.regexp_replace(F.trim(F.col("text")), "\\s+", " ").as("base"))
-      .select(id, F.concat(F.col("base"), F.lit(" Signed on "),
+    // the regexFindAll date scan downstream runs in the scan stage —
+    // spread a single-split source over the cores (guide §2.5)
+    graft.util.Reads.spread(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(id, F.regexp_replace(F.trim(F.col("text")), "\\s+", " ").as("base")))
+      .select(F.col("doc_id"), F.concat(F.col("base"), F.lit(" Signed on "),
         renderCol(y1, m1, d1, st1), F.lit(". Effective "),
         renderCol(y2, m2, d2, st2), F.lit("."), invalid).as("text"))
   }

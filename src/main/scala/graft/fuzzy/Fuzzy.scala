@@ -607,8 +607,9 @@ object Fuzzy {
     // silently hash-mismatch. Memoized: one scan per session.
     graft.verify.CorpusAsserts.assertPlantSafe(spark, sfDir)
     val nP = graft.model.Gazetteer.persons.length
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
+    graft.util.Reads.spread(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), regexp_replace(trim(col("text")), "\\s+", " ").as("text")))
       .as[(Long, String)]
       .map { case (id, base) =>
         val p = graft.model.Gazetteer.persons(((id * 7) % nP).toInt)
@@ -636,8 +637,8 @@ object Fuzzy {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val nP = graft.model.Gazetteer.persons.length
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"))
+    graft.util.Reads.spread(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id")))
       .as[Long]
       .map { id =>
         val p = graft.model.Gazetteer.persons(((id * 7) % nP).toInt)

@@ -38,8 +38,10 @@ object Multimodal {
   def media(spark: SparkSession, sfDir: String,
       kind: Option[String] = None): Dataset[MediaRow] = {
     import spark.implicits._
-    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"))
+    // the JDK-codec ENCODE stage runs in the scan stage and dominates the
+    // media queries — spread a single-split id source over the cores
+    val ids = graft.util.Reads.spread(spark,
+      spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id")))
     // Optional kind restriction applied BEFORE the encode stage: the kind
     // is a pure function of doc_id, so a consumer that only wants videos
     // (q_media_frames) must not pay the PNG/WAV encode for the other 2/3.

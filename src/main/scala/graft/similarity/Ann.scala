@@ -29,8 +29,11 @@ object Ann {
   val Dim = 64
 
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // per-vector map work (unit norm, SRP keys, centroid argmax) runs in
+    // the scan stage — spread a single-split source over the cores
+    graft.util.Reads.spread(spark,
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
 
   /** Deterministic ±1 hyperplane: component i of plane (band, p) is +1 iff
     * the last hex digit of md5("band:p:i") is even. Driver-side; the result

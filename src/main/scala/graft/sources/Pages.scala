@@ -117,8 +117,13 @@ object Pages {
     */
   def synthesize(spark: SparkSession, sfDir: String): Dataset[Page] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "text", "lang")
+    // page synthesis (and everything narrow downstream of it: HTML parse,
+    // mention scan) runs in the scan stage — spread a single-split source
+    // over the cores (guide §2.5; the amplified bench path repartitions for
+    // the same reason)
+    graft.util.Reads.spread(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text", "lang"))
       .as[(Long, String, String)]
       .map { case (id, text, lang) => pageOf(id, text, lang) }
   }

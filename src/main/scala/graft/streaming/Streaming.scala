@@ -187,21 +187,33 @@ object Streaming {
     */
   def triplesStream(spark: SparkSession, pagesDir: String,
       gazetteer: Array[(String, String)], canonSnapshot: Map[String, String],
-      maxFilesPerTrigger: Int = 1): Dataset[Triple] =
-    pageTriples(pagesStream(spark, pagesDir, maxFilesPerTrigger),
+      maxFilesPerTrigger: Int = 1, rebalance: Boolean = false): Dataset[Triple] =
+    pageTriples(pagesStream(spark, pagesDir, maxFilesPerTrigger, rebalance),
       gazetteer, canonSnapshot)
 
   /** The feed source, shared by every streaming entry point (the AliasMap
     * and AliasFrame shapes must read the feed IDENTICALLY or the
-    * "both branches produce the same sink" contract can drift). */
+    * "both branches produce the same sink" contract can drift).
+    *
+    * `rebalance` inserts one repartition(defaultParallelism) right after
+    * the source — guide §2.5's remedy for a COARSE feed (few small files ×
+    * maxFilesPerTrigger=1 means each micro-batch arrives as one split, and
+    * the expensive per-page fused stage then runs on one core while the
+    * rest idle; measured 0.33 s single-task batches on the staged bench
+    * feed). OFF by default: a production feed with well-split files gets
+    * its parallelism from the source, and rebalancing there would shuffle
+    * the full page payload for nothing. Page rows move whole, so the
+    * per-page computation and page-local dedup are unaffected.
+    */
   private def pagesStream(spark: SparkSession, pagesDir: String,
-      maxFilesPerTrigger: Int): Dataset[Page] = {
+      maxFilesPerTrigger: Int, rebalance: Boolean = false): Dataset[Page] = {
     import spark.implicits._
-    spark.readStream
+    val src = spark.readStream
       .schema(Encoders.product[Page].schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(pagesDir)
       .as[Page]
+    if (rebalance) src.repartition(spark.sparkContext.defaultParallelism) else src
   }
 
   /** Drain everything currently available in `pagesDir` into a parquet sink
@@ -369,18 +381,19 @@ object Streaming {
       outDir: String, checkpointDir: String, gazetteer: Array[(String, String)],
       snapshot: graft.canon.Canon.AliasSnapshot, maxFilesPerTrigger: Int,
       nBuckets: Int, trigger: Trigger,
-      bucketOf: Int => org.apache.spark.sql.Column = graft.materialize.Materialize.bucketCol)
+      bucketOf: Int => org.apache.spark.sql.Column = graft.materialize.Materialize.bucketCol,
+      rebalance: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.canon.Canon.{AliasFrame, AliasMap, AliasNone}
     val (stream, rewrite) = snapshot match {
       case AliasMap(m, _) =>
-        (triplesStream(spark, pagesDir, gazetteer, m, maxFilesPerTrigger),
+        (triplesStream(spark, pagesDir, gazetteer, m, maxFilesPerTrigger, rebalance),
           identity[Dataset[Triple]] _)
       case AliasFrame(df, _) =>
-        (pageTriplesRaw(pagesStream(spark, pagesDir, maxFilesPerTrigger), gazetteer),
+        (pageTriplesRaw(pagesStream(spark, pagesDir, maxFilesPerTrigger, rebalance), gazetteer),
           (b: Dataset[Triple]) => rewriteProv(b, df))
       case AliasNone =>
-        (pageTriplesRaw(pagesStream(spark, pagesDir, maxFilesPerTrigger), gazetteer),
+        (pageTriplesRaw(pagesStream(spark, pagesDir, maxFilesPerTrigger, rebalance), gazetteer),
           identity[Dataset[Triple]] _)
     }
     stream
@@ -396,10 +409,10 @@ object Streaming {
   def runTriplesStreamMaterialized(spark: SparkSession, pagesDir: String,
       outDir: String, checkpointDir: String, gazetteer: Array[(String, String)],
       canonSnapshot: Map[String, String], maxFilesPerTrigger: Int = 1,
-      nBuckets: Int = 16): Unit =
+      nBuckets: Int = 16, rebalance: Boolean = false): Unit =
     runTriplesStreamMaterialized(spark, pagesDir, outDir, checkpointDir,
       gazetteer, graft.canon.Canon.AliasMap(canonSnapshot), maxFilesPerTrigger,
-      nBuckets)
+      nBuckets, rebalance)
 
   /** [[runTriplesStreamMaterialized]] over an [[graft.canon.Canon
     * .AliasSnapshot]]: drain everything available (AvailableNow) through the
@@ -409,18 +422,35 @@ object Streaming {
       outDir: String, checkpointDir: String, gazetteer: Array[(String, String)],
       snapshot: graft.canon.Canon.AliasSnapshot, maxFilesPerTrigger: Int,
       nBuckets: Int,
-      bucketOf: Int => org.apache.spark.sql.Column): Unit =
+      bucketOf: Int => org.apache.spark.sql.Column,
+      rebalance: Boolean): Unit =
     startTriplesStreamMaterialized(spark, pagesDir, outDir, checkpointDir,
       gazetteer, snapshot, maxFilesPerTrigger, nBuckets,
-      Trigger.AvailableNow(), bucketOf).awaitTermination()
+      Trigger.AvailableNow(), bucketOf, rebalance).awaitTermination()
+
+  def runTriplesStreamMaterialized(spark: SparkSession, pagesDir: String,
+      outDir: String, checkpointDir: String, gazetteer: Array[(String, String)],
+      snapshot: graft.canon.Canon.AliasSnapshot, maxFilesPerTrigger: Int,
+      nBuckets: Int,
+      bucketOf: Int => org.apache.spark.sql.Column): Unit =
+    runTriplesStreamMaterialized(spark, pagesDir, outDir, checkpointDir,
+      gazetteer, snapshot, maxFilesPerTrigger, nBuckets, bucketOf,
+      rebalance = false)
+
+  def runTriplesStreamMaterialized(spark: SparkSession, pagesDir: String,
+      outDir: String, checkpointDir: String, gazetteer: Array[(String, String)],
+      snapshot: graft.canon.Canon.AliasSnapshot, maxFilesPerTrigger: Int,
+      nBuckets: Int, rebalance: Boolean): Unit =
+    runTriplesStreamMaterialized(spark, pagesDir, outDir, checkpointDir,
+      gazetteer, snapshot, maxFilesPerTrigger, nBuckets,
+      graft.materialize.Materialize.bucketCol, rebalance)
 
   def runTriplesStreamMaterialized(spark: SparkSession, pagesDir: String,
       outDir: String, checkpointDir: String, gazetteer: Array[(String, String)],
       snapshot: graft.canon.Canon.AliasSnapshot, maxFilesPerTrigger: Int,
       nBuckets: Int): Unit =
     runTriplesStreamMaterialized(spark, pagesDir, outDir, checkpointDir,
-      gazetteer, snapshot, maxFilesPerTrigger, nBuckets,
-      graft.materialize.Materialize.bucketCol)
+      gazetteer, snapshot, maxFilesPerTrigger, nBuckets, rebalance = false)
 
   final case class SessState(nEvents: Long, nSessions: Long, lastTs: Long)
 

@@ -19,10 +19,22 @@ class PlanSpec extends SparkSpec {
   private def exchanges(df: DataFrame): Int = {
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.SimpleMode)
-    // \bExchange matches only the shuffle node: "BroadcastExchange" (not a
-    // shuffle) and "ReusedExchange" (reuses an existing one) have no word
-    // boundary before "Exchange" and are correctly excluded.
-    "\\bExchange\\b".r.findAllMatchIn(plan).size
+    // Count DISTINCT hash-shuffle exchanges:
+    //  - "BroadcastExchange" (not a shuffle) and "ReusedExchange" are
+    //    excluded;
+    //  - an executed AQE plan prints the FINAL and the INITIAL plan, so the
+    //    same exchange can appear twice — dedupe by plan_id;
+    //  - RoundRobinPartitioning exchanges are the DELIBERATE coarse-source
+    //    rebalance (graft.util.Reads.spread, optimization guide §2.5) and
+    //    are excluded: this spec guards against ACCIDENTAL mid-pipeline
+    //    hash shuffles, which a round-robin spread is not.
+    plan.linesIterator
+      .filter(_.contains("Exchange "))
+      .filterNot(_.contains("ReusedExchange"))
+      .filterNot(_.contains("BroadcastExchange"))
+      .filterNot(_.contains("RoundRobinPartitioning"))
+      .map(l => "plan_id=(\\d+)".r.findFirstMatchIn(l).map(_.group(1)).getOrElse(l))
+      .toSet.size
   }
 
   test("extraction and scan stages are narrow: zero shuffles end to end") {
