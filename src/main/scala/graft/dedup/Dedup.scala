@@ -33,11 +33,11 @@ object Dedup {
         expr("substring(text, 1, (length(text)*9) div 10)").as("text"))
     val exact = norm.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-    // every dedup operator runs its expensive per-document map work
-    // (shingling, 12-seed MinHash md5, SimHash) in the scan stage, and this
-    // small corpus arrives as ONE SPLIT PER UNION LEG — measured 3 tasks
-    // carrying a 1.2 s MinHash map stage at local[32]
-    graft.util.Reads.spread(spark, norm.unionByName(near).unionByName(exact))
+    // NOT spread here: cheap consumers (exact-dedup's md5 groupBy, the
+    // count-shaped simhash scan) measured the rebalance exchange as pure
+    // cost. The heavy shingle/fingerprint paths spread their OWN input
+    // (shingles / shingleHashes / simhashCandidates below).
+    norm.unionByName(near).unionByName(exact)
   }
 
   /** Exact dedup: content-hash groupBy. (hash, n_docs, keeper=min id). */
@@ -89,7 +89,11 @@ object Dedup {
     * which explode drops.
     */
   def shingles(corpus: DataFrame): DataFrame =
-    corpus
+    // shingling + the distinct's partial aggregate (and, downstream, the
+    // 12-seed MinHash md5 per shingle) run in the scan stage — spread a
+    // coarsely-split corpus over the cores first (guide §2.5; measured a
+    // 1.2 s THREE-task MinHash map stage at local[32] without it)
+    graft.util.Reads.spread(corpus)
       .select(col("doc_id"), explode(org.apache.spark.sql.graft.Bridge.column(
         WordShingles(org.apache.spark.sql.graft.Bridge.expression(col("text")), ShingleN)
       )).as("s"))
@@ -108,7 +112,7 @@ object Dedup {
     * oracle-mirrored — but its verify stage shares this key.
     */
   def shingleHashes(corpus: DataFrame): DataFrame =
-    corpus
+    graft.util.Reads.spread(corpus) // see shingles
       .select(col("doc_id"), explode(org.apache.spark.sql.graft.Bridge.column(
         WordShingleHashes(org.apache.spark.sql.graft.Bridge.expression(col("text")), ShingleN)
       )).as("s"))
@@ -304,8 +308,10 @@ object Dedup {
         }
     }
     // pack the bit string into two longs once, pre-join, so verification is
-    // two codegen'd xor+bit_count ops per candidate instead of 64 char cmps
-    val packed = simhash(corpus)
+    // two codegen'd xor+bit_count ops per candidate instead of 64 char cmps.
+    // The SimHash fingerprint pass is the heavy map work of this query —
+    // spread a coarsely-split corpus over the cores first (guide §2.5)
+    val packed = simhash(graft.util.Reads.spread(corpus))
       .select(col("doc_id"),
         conv(substring(col("simhash"), 1, 32), 2, 10).cast("long").as("x1"),
         conv(substring(col("simhash"), 33, 32), 2, 10).cast("long").as("x2"))
@@ -328,7 +334,7 @@ object Dedup {
     val variant = base.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"),
         expr("concat(array(element_at(v, 1) + 0.01d), slice(v, 2, size(v) - 1))").as("v"))
-    graft.util.Reads.spread(spark, base.unionByName(variant))
+    base.unionByName(variant) // not spread — see Ann.embeddings
   }
 
   /** Cosine similarity between two double-array columns as a codegen'd

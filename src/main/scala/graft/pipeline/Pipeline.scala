@@ -38,7 +38,27 @@ object Pipeline {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Dataset[Mention]]()
 
   def mentionsCached(spark: SparkSession, sfDir: String): Dataset[Mention] =
-    mentionMemo.computeIfAbsent((spark, sfDir), _ => mentions(spark, sfDir).cache())
+    mentionMemo.computeIfAbsent((spark, sfDir), _ => {
+      val ms = mentions(spark, sfDir)
+      // The page source may have been SPREAD over the cores for the scan
+      // (graft.util.Reads.spread — the fill is then parallel), but a cache
+      // built from the spread plan makes every one of the memo's many
+      // small consumers pay defaultParallelism-many tasks per stage. For a
+      // coarse source, re-cluster the cache BY URL back to the source's
+      // own split count: the fill stays parallel (the exchange's map side
+      // is the spread scan), the cached dimension reads at its natural
+      // width, and url-hash partitioning PRESERVES the segment/url
+      // contiguity the *Contiguous operators require — a url's mention run
+      // lives in one map task's shuffle block, blocks keep row order, and
+      // no other block carries that url. Well-split production sources
+      // skip this entirely (no spread happened, no exchange added).
+      val srcParts = spark.read.parquet(s"$sfDir/documents.parquet")
+        .rdd.getNumPartitions
+      val par = spark.sparkContext.defaultParallelism
+      val clustered =
+        if (srcParts < par) ms.repartition(srcParts, col("url")) else ms
+      clustered.cache()
+    })
 
   // Canonical alias map is dimension-sized but costs a CC fixpoint loop —
   // memoize it too (q_canon / q_entity_prov / q_eval_pairs / q_lineage all

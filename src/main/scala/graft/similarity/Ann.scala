@@ -29,11 +29,12 @@ object Ann {
   val Dim = 64
 
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
-    // per-vector map work (unit norm, SRP keys, centroid argmax) runs in
-    // the scan stage — spread a single-split source over the cores
-    graft.util.Reads.spread(spark,
-      spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+    // NOT spread (graft.util.Reads.spread): the per-vector native passes
+    // are light at this dimension and the ANN queries are join/window
+    // bound — the rebalance exchange measured as a wash-to-loss in full
+    // sweeps, so the conservative no-plan-change form stays
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   /** Deterministic ±1 hyperplane: component i of plane (band, p) is +1 iff
     * the last hex digit of md5("band:p:i") is even. Driver-side; the result

@@ -23,12 +23,13 @@ object TextStats {
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to")
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =
-    // per-doc map work (langid token scan, quality stats, fingerprints)
-    // runs in the scan stage — spread a single-split source over the cores
-    graft.util.Reads.spread(spark,
-      spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(col("doc_id"), col("lang"), col("source"),
-          regexp_replace(trim(col("text")), "\\s+", " ").as("text")))
+    // NOT spread over the cores (graft.util.Reads.spread): the text-stats
+    // map work is already one narrow codegen pass per doc (LangBest,
+    // QualityStats) measured CHEAPER than the rebalance exchange at this
+    // corpus — the spread was tried in the optimization round and reverted
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
 
   /** Language-ID: count marker-token hits per language over the token
     * stream; winner = max hits, ties broken by language code, zero hits →

@@ -18,4 +18,6 @@ object Reads {
     val par = spark.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
+
+  def spread(df: DataFrame): DataFrame = spread(df.sparkSession, df)
 }

@@ -25,7 +25,9 @@ class RelationsSpec extends SparkSpec {
   }
 
   test("cooccurrenceContiguous ≡ cooccurrence on the live scan output") {
-    val ms = Pipeline.mentions(spark, sfTiny)
+    // mentionsCached, not mentions: exercises contiguity THROUGH the memo's
+    // url-hash re-clustering exchange, the riskier of the two shapes
+    val ms = Pipeline.mentionsCached(spark, sfTiny)
     val grouped = graft.relations.Relations.cooccurrence(ms)
       .collect().map(t => (t.subj, t.pred, t.obj, t.url, t.score)).sorted.toSeq
     val contiguous = graft.relations.Relations.cooccurrenceContiguous(ms)
