@@ -91,13 +91,12 @@ object Pipeline {
     * broadcast-join + distinct form). */
   def triples(spark: SparkSession, sfDir: String): Dataset[Triple] = {
     val ms = mentionsCached(spark, sfDir)
-    val cooc = Relations.cooccurrenceContiguous(ms)
     val canonDf = canonCached(spark, sfDir)
-    val prov = Canon.snapshotBounded(canonDf) match {
-      case Canon.AliasMap(m, _) => Relations.mentionedInContiguous(ms, m)
-      case _ => Relations.mentionedIn(ms, canonDf)
+    Canon.snapshotBounded(canonDf) match {
+      case Canon.AliasMap(m, _) => Relations.triplesContiguous(ms, m)
+      case _ => Relations.cooccurrenceContiguous(ms)
+        .unionByName(Relations.mentionedIn(ms, canonDf))
     }
-    cooc.unionByName(prov)
   }
 
   /** Bench-only flagship over an amplified corpus (factor deterministic
@@ -110,13 +109,12 @@ object Pipeline {
   def triplesAmplified(spark: SparkSession, sfDir: String, factor: Int): Dataset[Triple] = {
     val pages = Pages.synthesizeAmplified(spark, sfDir, factor)
     val ms = Mentions.scanWithRecall(Extract.segments(pages), Gazetteer.all.toArray).cache()
-    val cooc = Relations.cooccurrenceContiguous(ms)
     val canonDf = Canon.canonicalMap(ms)
-    val prov = Canon.snapshotBounded(canonDf) match {
-      case Canon.AliasMap(m, _) => Relations.mentionedInContiguous(ms, m)
-      case _ => Relations.mentionedIn(ms, canonDf)
+    Canon.snapshotBounded(canonDf) match {
+      case Canon.AliasMap(m, _) => Relations.triplesContiguous(ms, m)
+      case _ => Relations.cooccurrenceContiguous(ms)
+        .unionByName(Relations.mentionedIn(ms, canonDf))
     }
-    cooc.unionByName(prov)
   }
 
   /** Terminal flagship action for benchmarking: counts the amplified triples
@@ -154,13 +152,14 @@ object Pipeline {
     val pages = Pages.synthesizeAmplified(spark, sfDir, factor)
     val ms = Mentions.scanWithRecall(Extract.segments(pages), gazetteer).cache()
     try {
-      val cooc = Relations.cooccurrenceContiguous(ms)
       val canonDf = Canon.canonicalMap(ms)
-      val prov = Canon.snapshotBounded(canonDf) match {
-        case Canon.AliasMap(m, _) => Relations.mentionedInContiguous(ms, m)
-        case _ => Relations.mentionedIn(ms, canonDf)
+      val triples = Canon.snapshotBounded(canonDf) match {
+        // one fused pass over the cached mentions for BOTH legs
+        case Canon.AliasMap(m, _) => Relations.triplesContiguous(ms, m)
+        case _ => Relations.cooccurrenceContiguous(ms)
+          .unionByName(Relations.mentionedIn(ms, canonDf))
       }
-      tripleChecksum(cooc.unionByName(prov).toDF())
+      tripleChecksum(triples.toDF())
     } finally ms.unpersist()
   }
 }

@@ -222,6 +222,60 @@ object Relations {
     }
   }
 
+  /** ONE fused pass over url-contiguous mentions producing BOTH triple
+    * legs: per-segment co-occurrence pairing ([[coocLocal]]) and page-local
+    * canonical provenance ([[provLocal]]) — the batch twin of the streaming
+    * fused stage, over the mention table instead of raw pages. Equals
+    * [[cooccurrenceContiguous]] ∪ [[mentionedInContiguous]] as a multiset
+    * while reading the (cached) mention table ONCE instead of twice — in
+    * the flagship that halves the post-scan passes. Same loud contiguity
+    * guards: a url OR a segment key reappearing after its run closed
+    * throws, never silently duplicates triples.
+    */
+  def triplesContiguous(mentions: Dataset[Mention],
+      canon: Map[String, String]): Dataset[Triple] = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(canon)
+    mentions.mapPartitions { it =>
+      val cm = bc.value
+      val buf = it.buffered
+      val closedUrls = new java.util.HashSet[String]()
+      new Iterator[Triple] {
+        private var out: Iterator[Triple] = Iterator.empty
+        private def advance(): Unit = {
+          while (!out.hasNext && buf.hasNext) {
+            val url = buf.head.url
+            if (!closedUrls.add(url))
+              throw new IllegalStateException(
+                s"triplesContiguous: url $url reappeared after its run " +
+                  "closed — input is not url-contiguous")
+            val page = scala.collection.mutable.ListBuffer.empty[Mention]
+            val cooc = List.newBuilder[Triple]
+            val closedSegs = new java.util.HashSet[(Int, Int)]()
+            while (buf.hasNext && buf.head.url == url) {
+              val segKey = { val m = buf.head; (m.page, m.seg_no) }
+              if (!closedSegs.add(segKey))
+                throw new IllegalStateException(
+                  s"triplesContiguous: segment $url/$segKey reappeared after " +
+                    "its run closed — input is not segment-contiguous")
+              val seg = scala.collection.mutable.ListBuffer.empty[Mention]
+              while (buf.hasNext && {
+                val m = buf.head
+                m.url == url && m.page == segKey._1 && m.seg_no == segKey._2
+              }) seg += buf.next()
+              page ++= seg
+              cooc ++= coocLocal(seg.toList, url)
+            }
+            out = (cooc.result() ++ provLocal(page.toList, url, cm)).iterator
+          }
+        }
+        def hasNext: Boolean = { advance(); out.hasNext }
+        def next(): Triple = { advance(); out.next() }
+      }
+    }
+  }
+
   /** Provenance triples (canonical_entity, mentioned_in, url) — subjects
     * rewritten through the canonicalization alias map (broadcast: the map is
     * dimension-sized) then deduplicated per url.

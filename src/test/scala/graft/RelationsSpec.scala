@@ -62,6 +62,18 @@ class RelationsSpec extends SparkSpec {
     assert(contiguous == joined)
   }
 
+  test("triplesContiguous ≡ cooccurrence ∪ mentionedIn on the live scan output") {
+    val ms = Pipeline.mentionsCached(spark, sfTiny)
+    val canonDf = Pipeline.canonCached(spark, sfTiny)
+    val fused = graft.relations.Relations.triplesContiguous(
+        ms, graft.canon.Canon.snapshot(canonDf))
+      .collect().map(t => (t.subj, t.pred, t.obj, t.url, t.score)).sorted.toSeq
+    val legs = (graft.relations.Relations.cooccurrence(ms).collect() ++
+        graft.relations.Relations.mentionedIn(ms, canonDf).collect())
+      .map(t => (t.subj, t.pred, t.obj, t.url, t.score)).sorted.toSeq
+    assert(fused == legs)
+  }
+
   test("mentionedInContiguous fails loudly on non-url-contiguous input") {
     import spark.implicits._
     import graft.model.Mention
