@@ -162,7 +162,8 @@ object DedupScaleBench {
       .write.mode("overwrite").parquet(stagedIdx)
     docs.filter(deltaSplit === 0).write.mode("overwrite").parquet(stagedDelta)
     def idxChecksum(df: DataFrame): Long =
-      df.agg(sum(hash(col("h"), col("n_docs"), col("keeper")))).head.getLong(0)
+      df.agg(coalesce(sum(hash(col("h"), col("n_docs"), col("keeper"))), lit(0L)))
+        .head.getLong(0)
     val (exFullSec, exFullReps, exFullSum) = minOf(reps)(idxChecksum(Dedup.exact(docs)))
     val (exIncrSec, exIncrReps, exIncrSum) = minOf(reps)(idxChecksum(
       Dedup.exactIncremental(spark.read.parquet(stagedIdx),

@@ -11,8 +11,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   *
   * The arithmetic is pinned to the column-function form it replaced
   * (`aggregate(zip_with(nv, cv, (x,y) -> x*y), 0d, (s,x) -> s+x)`): a
-  * sequential index-order fold per centroid, so results are bit-identical
+  * sequential index-order fold per centroid, so for well-formed fixed-Dim
+  * rows (the only rows the wired readers produce) results are bit-identical
   * to the prior plan and to the DuckDB oracle's `list_inner_product`.
+  * Degenerate inputs differ deliberately — see the next paragraph.
   *
   * Malformed-row verdicts (never produced by the wired `embeddings()`
   * readers, which emit fixed-Dim arrays): a row SHORTER than the baked

@@ -6,6 +6,11 @@ package graft.util
   * computed result. Every scale-bench main times through this helper so a
   * protocol change (e.g. min → median) lands everywhere at once instead of
   * silently mixing protocols across BENCH JSONs.
+  *
+  * The returned `A` is the LAST timed rep's result (the helpers this
+  * replaced returned the first rep's) — equivalent for the deterministic
+  * checksums benched today; a future bench with rep-dependent results must
+  * not rely on first-rep semantics.
   */
 object BenchProto {
   def minOf[A](reps: Int)(f: => A): (Double, Seq[Double], A) = {
