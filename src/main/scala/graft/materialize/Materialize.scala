@@ -231,7 +231,9 @@ object Materialize {
     val rows = bucketCounts(obs.get, nBuckets)
       .map { case (b, n) => LineageRow(table, b, batchId, n) }
     if (rows.nonEmpty)
-      rows.toDS().toDF().write.mode("append").parquet(lineagePath(outDir))
+      // one task/file per append: a ≤nBuckets-row lineage batch otherwise
+      // parallelizes one row per task (16 one-row part files per call)
+      rows.toDS().toDF().coalesce(1).write.mode("append").parquet(lineagePath(outDir))
     rows
   }
 
@@ -291,6 +293,6 @@ object Materialize {
     import scala.jdk.CollectionConverters._
     val rows = acc.value.asScala.toSeq
     if (rows.nonEmpty)
-      rows.toDS().toDF().write.mode("append").parquet(s"$outDir/_metrics")
+      rows.toDS().toDF().coalesce(1).write.mode("append").parquet(s"$outDir/_metrics")
   }
 }

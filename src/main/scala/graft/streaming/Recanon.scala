@@ -66,7 +66,9 @@ object Recanon {
     val rows = buckets.sortBy(_._1).map { case (k, n) =>
       graft.materialize.Materialize.LineageRow("stream_triples", k, b, n) }
     if (rows.nonEmpty)
-      rows.toDS().toDF().write.mode("overwrite")
+      // one task/file for the ≤nBuckets-row sidecar — see
+      // Streaming.materializedBatchWriter's lineage write
+      rows.toDS().toDF().coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/_lineage/batch-$b")
     else
       SinkFs.deleteLoud(spark, s"$outDir/_lineage/batch-$b")
@@ -225,7 +227,7 @@ object Recanon {
         CompactionRow(compactionId, b, beforeByBatch.getOrElse(b, 0L),
           byBatch.getOrElse(b, Array.empty[(Long, Int, Long)]).map(_._3).sum, nanos)
       }
-      report.toDS().toDF().write.mode("overwrite")
+      report.toDS().toDF().coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/_compactions/compact-$compactionId")
       // Watermark refresh LAST: every candidate is now confirmed current
       // under the fresh map (rewritten or scanned-not-stale).

@@ -308,7 +308,10 @@ object Streaming {
       val rows = Materialize.bucketCounts(observed, nBuckets)
         .map { case (b, n) => Materialize.LineageRow("stream_triples", b, batchId, n) }
       if (rows.nonEmpty)
-        rows.toDS().toDF().write.mode("overwrite")
+        // ONE task, one file: a ≤nBuckets-row metadata write otherwise fans
+        // out one row per task (LocalTableScan parallelizes to row count),
+        // paying a 16-file commit per micro-batch for dimension-tiny data
+        rows.toDS().toDF().coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/_lineage/batch-$batchId")
       else
         // A replayed batch can legitimately shrink to zero rows (at-least-once

@@ -32,6 +32,12 @@ class MaterializeSpec extends SparkSpec {
     assert(lineage.agg(sum("n_rows")).head.getLong(0) == 40)
     // idempotent: a third run writes nothing
     assert(Materialize.writeTriples(ts, dir, nBuckets = 8, batchId = 2).isEmpty)
+    // sidecar layout: each append lands as ONE part file (the ≤nBuckets-row
+    // metadata write is coalesced — not one row per task), so resume
+    // lookups read a file per completed batch, not per row
+    val parts = new java.io.File(Materialize.lineagePath(dir)).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parts.length == 2, s"expected 2 lineage part files, got ${parts.length}")
   }
 
   test("instrumented emits one metric row per partition with exact row counts") {
